@@ -1,0 +1,262 @@
+"""Projection configuration and precomputed static grids.
+
+Both directions of the gnomonic tangent-patch projection are *static sparse
+linear maps* over pixels: every output pixel is a fixed weighted sum of at
+most K input pixels, with indices and weights fully determined by
+(fov, nrows, patch_size, erp_size).  We therefore precompute, once per
+config:
+
+  - equi2pers: 4 bilinear corner indices + weights per patch pixel
+    (the reference re-derives the grid on CPU inside every forward call and
+    samples with F.grid_sample, equi_pers/equi2pers_v3.py:29-111);
+  - pers2equi: per-ERP-pixel contributions from all overlapping patches,
+    thresholded, L1-normalized, and *compacted to the top-K nonzero terms*
+    (the reference gathers all n_patch x 4 corners every call and normalizes
+    at runtime, equi_pers/pers2equi_v3.py:171-196 — the normalized weights
+    are constants, so we fold the normalization into the table).
+
+The runtime op for both directions is a single fused gather-blend
+(see omnifusion_tpu.ops.sparse_blend).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from omnifusion_tpu.geometry import gnomonic
+from omnifusion_tpu.geometry.layout import (
+    num_patches,
+    patch_centers_normalized,
+    patch_centers_radians,
+)
+
+
+def _pair(t):
+    return tuple(t) if isinstance(t, (tuple, list)) else (t, t)
+
+
+@dataclasses.dataclass(frozen=True)
+class ProjectionSpec:
+    """Static configuration of the tangent-patch projection pair."""
+
+    erp_h: int
+    erp_w: int
+    patch_h: int
+    patch_w: int
+    fov_h: float
+    fov_w: float
+    nrows: int
+
+    @classmethod
+    def create(cls, erp_size, patch_size, fov=(80, 80), nrows: int = 4) -> "ProjectionSpec":
+        erp_h, erp_w = _pair(erp_size)
+        patch_h, patch_w = _pair(patch_size)
+        fov_h, fov_w = _pair(fov)
+        return cls(
+            erp_h=int(erp_h),
+            erp_w=int(erp_w),
+            patch_h=int(patch_h),
+            patch_w=int(patch_w),
+            fov_h=float(fov_h),
+            fov_w=float(fov_w),
+            nrows=int(nrows),
+        )
+
+    @property
+    def n_patches(self) -> int:
+        return num_patches(self.nrows)
+
+    def with_patch_scale(self, denom: int) -> "ProjectionSpec":
+        """Same spec at a reduced patch resolution (e.g. /4 for geometry feats)."""
+        return dataclasses.replace(
+            self, patch_h=self.patch_h // denom, patch_w=self.patch_w // denom
+        )
+
+
+@struct.dataclass
+class Equi2PersGrids:
+    """Static tables for ERP -> tangent patches (all arrays device-resident).
+
+    idx/w implement bilinear sampling with border padding and
+    align_corners=True semantics (torch F.grid_sample parity).
+    """
+
+    idx: jnp.ndarray  # (P*h*w, 4) int32, flat indices into erp_h*erp_w
+    w: jnp.ndarray  # (P*h*w, 4) float32 bilinear weights
+    xyz: jnp.ndarray  # (P, h, w, 3) unit-sphere coords per patch pixel
+    uv: jnp.ndarray  # (P, h, w, 2) normalized (lon, lat) in [-1, 1]
+    centers: jnp.ndarray  # (P, 2) normalized patch centers in [-1, 1]
+    spec: ProjectionSpec = struct.field(pytree_node=False)
+
+
+@struct.dataclass
+class Pers2EquiGrids:
+    """Static tables for tangent patches -> ERP (confidence-style blending).
+
+    Per ERP pixel: top-K flat indices into the (P*h*w) patch stack and the
+    pre-normalized blend weights (sum over K is 1 wherever any patch covers
+    the pixel, 0 elsewhere).
+    """
+
+    idx: jnp.ndarray  # (erp_h*erp_w, K) int32
+    w: jnp.ndarray  # (erp_h*erp_w, K) float32
+    spec: ProjectionSpec = struct.field(pytree_node=False)
+
+
+# ---------------------------------------------------------------------------
+# builders (host-side, float64, run once per spec)
+# ---------------------------------------------------------------------------
+
+def _forward_angles(spec: ProjectionSpec):
+    """(lon, lat) radians per patch pixel, shape (P, h, w) each.
+
+    lon is unwrapped (can exceed +-pi); used both for sampling coords and for
+    the xyz/uv geometric features.
+    """
+    h, w = spec.patch_h, spec.patch_w
+    sx = np.linspace(0.0, 1.0, w)
+    sy = np.linspace(0.0, 1.0, h)
+    x = gnomonic.screen_to_tangent(sx, spec.fov_w, 360.0)[None, None, :]  # (1,1,w)
+    y = gnomonic.screen_to_tangent(sy, spec.fov_h, 180.0)[None, :, None]  # (1,h,1)
+    centers = patch_centers_radians(spec.nrows)  # (P, 2)
+    theta_c = centers[:, 0][:, None, None]
+    phi_c = centers[:, 1][:, None, None]
+    lon, lat = gnomonic.forward(
+        np.broadcast_to(x, (spec.n_patches, h, w)),
+        np.broadcast_to(y, (spec.n_patches, h, w)),
+        theta_c,
+        phi_c,
+    )
+    return lon, lat
+
+
+@functools.lru_cache(maxsize=None)
+def build_equi2pers_grids(spec: ProjectionSpec) -> Equi2PersGrids:
+    lon, lat = _forward_angles(spec)
+    lon_n = lon / np.pi
+    lat_n = lat / (np.pi / 2.0)
+    # longitude wraparound into [-1, 1] (equi2pers_v3.py:103-104)
+    lon_n = np.where(lon_n > 1.0, lon_n - 2.0, lon_n)
+    lon_n = np.where(lon_n < -1.0, lon_n + 2.0, lon_n)
+
+    # align_corners=True unnormalization + border padding (clamp)
+    ix = np.clip((lon_n + 1.0) * 0.5 * (spec.erp_w - 1), 0.0, spec.erp_w - 1)
+    iy = np.clip((lat_n + 1.0) * 0.5 * (spec.erp_h - 1), 0.0, spec.erp_h - 1)
+
+    x0 = np.floor(ix).astype(np.int64)
+    y0 = np.floor(iy).astype(np.int64)
+    x1 = np.minimum(x0 + 1, spec.erp_w - 1)
+    y1 = np.minimum(y0 + 1, spec.erp_h - 1)
+    fx = ix - x0
+    fy = iy - y0
+
+    def flat(yy, xx):
+        return (yy * spec.erp_w + xx).reshape(-1)
+
+    idx = np.stack([flat(y0, x0), flat(y0, x1), flat(y1, x0), flat(y1, x1)], axis=-1)
+    w = np.stack(
+        [
+            ((1 - fy) * (1 - fx)).reshape(-1),
+            ((1 - fy) * fx).reshape(-1),
+            (fy * (1 - fx)).reshape(-1),
+            (fy * fx).reshape(-1),
+        ],
+        axis=-1,
+    )
+
+    cos_lat = np.cos(lat)
+    xyz = np.stack(
+        [cos_lat * np.sin(lon), cos_lat * np.cos(lon), np.sin(lat)], axis=-1
+    )
+    uv = np.stack([lon_n, lat_n], axis=-1)
+    centers = patch_centers_normalized(spec.nrows)
+
+    return Equi2PersGrids(
+        idx=jnp.asarray(idx, dtype=jnp.int32),
+        w=jnp.asarray(w, dtype=jnp.float32),
+        xyz=jnp.asarray(xyz, dtype=jnp.float32),
+        uv=jnp.asarray(uv, dtype=jnp.float32),
+        centers=jnp.asarray(centers, dtype=jnp.float32),
+        spec=spec,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def build_pers2equi_grids(spec: ProjectionSpec) -> Pers2EquiGrids:
+    P = spec.n_patches
+    ph, pw = spec.patch_h, spec.patch_w
+    erp_h, erp_w = spec.erp_h, spec.erp_w
+
+    lat = np.linspace(-np.pi / 2.0, np.pi / 2.0, erp_h)[None, :, None]
+    lon = np.linspace(-np.pi, np.pi, erp_w)[None, None, :]
+    centers = patch_centers_radians(spec.nrows)
+    theta_c = centers[:, 0][:, None, None]
+    phi_c = centers[:, 1][:, None, None]
+
+    x, y, cos_c = gnomonic.inverse(
+        np.broadcast_to(lon, (P, erp_h, erp_w)),
+        np.broadcast_to(lat, (P, erp_h, erp_w)),
+        theta_c,
+        phi_c,
+    )
+    x_n = x / (spec.fov_w / 360.0 * np.pi)
+    y_n = y / (spec.fov_h / 180.0 * (np.pi / 2.0))
+    # Pixel coords in [0, pw] x [0, ph].  (The reference scales x by height
+    # and y by width, pers2equi_v3.py:122-123 — identical for the square
+    # patches it always uses; we scale each axis by its own size.)
+    x_pix = (x_n + 1.0) * 0.5 * pw
+    y_pix = (y_n + 1.0) * 0.5 * ph
+
+    mask = (
+        (x_pix > 0) & (x_pix < pw) & (y_pix > 0) & (y_pix < ph) & (cos_c > 0)
+    ).astype(np.float64)
+
+    x0 = np.clip(np.floor(x_pix), 0, pw - 1).astype(np.int64)
+    x1 = np.clip(x0 + 1, 0, pw - 1)
+    y0 = np.clip(np.floor(y_pix), 0, ph - 1).astype(np.int64)
+    y1 = np.clip(y0 + 1, 0, ph - 1)
+
+    # Bilinear corner weights computed from the *clamped* corners, then
+    # masked and thresholded — matching pers2equi_v3.py:139-152,191.
+    with np.errstate(invalid="ignore"):
+        wa = (x1 - x_pix) * (y1 - y_pix) * mask
+        wb = (x1 - x_pix) * (y_pix - y0) * mask
+        wc = (x_pix - x0) * (y1 - y_pix) * mask
+        wd = (x_pix - x0) * (y_pix - y0) * mask
+    w_all = np.stack([wa, wb, wc, wd], axis=-1)  # (P, H, W, 4)
+    w_all = np.nan_to_num(w_all, nan=0.0, posinf=0.0, neginf=0.0)
+    w_all = w_all * (w_all > 1e-5)
+
+    patch_base = (np.arange(P, dtype=np.int64) * (ph * pw))[:, None, None]
+    ia = patch_base + y0 * pw + x0
+    ib = patch_base + y1 * pw + x0
+    ic = patch_base + y0 * pw + x1
+    id_ = patch_base + y1 * pw + x1
+    idx_all = np.stack([ia, ib, ic, id_], axis=-1)  # (P, H, W, 4)
+
+    # flatten to (N, P*4) with N = erp pixels; normalize jointly over all
+    # patch/corner contributions per pixel (pers2equi_v3.py:189-192).
+    N = erp_h * erp_w
+    w_flat = w_all.transpose(1, 2, 0, 3).reshape(N, P * 4)
+    idx_flat = idx_all.transpose(1, 2, 0, 3).reshape(N, P * 4)
+    denom = np.maximum(w_flat.sum(axis=1, keepdims=True), 1e-12)
+    w_flat = w_flat / denom
+
+    # compact to top-K nonzero contributions per pixel
+    K = int((w_flat > 0).sum(axis=1).max())
+    order = np.argsort(-w_flat, axis=1, kind="stable")[:, :K]
+    rows = np.arange(N)[:, None]
+    w_k = w_flat[rows, order]
+    idx_k = idx_flat[rows, order]
+    idx_k = np.where(w_k > 0, idx_k, 0)
+
+    return Pers2EquiGrids(
+        idx=jnp.asarray(idx_k, dtype=jnp.int32),
+        w=jnp.asarray(w_k, dtype=jnp.float32),
+        spec=spec,
+    )

@@ -1,0 +1,34 @@
+"""Test configuration: force an 8-device CPU mesh before jax initializes.
+
+This is the TPU analog of multi-node testing without a cluster (SURVEY.md §4):
+all tests run on CPU with 8 virtual devices so sharding/collective paths are
+exercised; real-TPU benchmarking happens in bench.py only.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib  # noqa: E402
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+GOLDEN_DIR = pathlib.Path(__file__).parent / "goldens"
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+def load_golden(name: str):
+    path = GOLDEN_DIR / f"{name}.npz"
+    if not path.exists():
+        pytest.skip(f"golden fixture {name} not generated (tools/make_goldens.py)")
+    return np.load(path)
