@@ -1,0 +1,145 @@
+"""NN building blocks with torch-parity semantics, NHWC layout.
+
+TorchBatchNorm reproduces torch BatchNorm exactly (biased variance for
+normalization, unbiased for running stats — the semantics of the reference's
+SyncBN, sync_batchnorm/batchnorm.py:128-145) and becomes cross-replica
+synchronized either automatically under GSPMD (a jnp.mean over a sharded
+batch axis IS the global mean) or explicitly via ``axis_name`` under
+shard_map/pmap.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm over all axes but the last, torch semantics.
+
+    - normalization uses the biased batch variance;
+    - running stats update uses torch momentum convention
+      (new = (1-m)*old + m*batch) with the *unbiased* variance;
+    - with ``axis_name`` set, batch statistics are averaged across that
+      mapped axis (SyncBN; cf. sync_batchnorm/batchnorm.py:74-126).
+    """
+
+    momentum: float = 0.1
+    eps: float = 1e-5
+    axis_name: Optional[str] = None
+    use_running_average: Optional[bool] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        ura = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        features = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros(features, jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones(features, jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+
+        xf = x.astype(jnp.float32)
+        if ura:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            n = 1
+            for a in axes:
+                n *= x.shape[a]
+            mean = jnp.mean(xf, axis=axes)
+            mean_sq = jnp.mean(jnp.square(xf), axis=axes)
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean_sq = jax.lax.pmean(mean_sq, self.axis_name)
+                n = n * jax.lax.psum(1, self.axis_name)
+            var = mean_sq - jnp.square(mean)
+            if not self.is_initializing():
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return y.astype(self.dtype or x.dtype)
+
+
+def torch_conv(
+    features: int,
+    kernel_size: int | Sequence[int],
+    stride: int = 1,
+    padding: int = 0,
+    use_bias: bool = False,
+    dtype=None,
+    name: Optional[str] = None,
+) -> nn.Conv:
+    """nn.Conv with torch-style symmetric zero padding (never XLA SAME,
+    which pads asymmetrically for even inputs at stride 2)."""
+    k = (kernel_size, kernel_size) if isinstance(kernel_size, int) else tuple(kernel_size)
+    return nn.Conv(
+        features,
+        kernel_size=k,
+        strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        use_bias=use_bias,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+        name=name,
+    )
+
+
+class ConvBnReLU(nn.Module):
+    """conv (no bias) -> BN -> ReLU, the reference's ConvBnReLU_v2
+    (model/spherical_model.py:29-37) without the Conv3d (k,k,1) emulation:
+    the patch axis rides in the batch dimension instead."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = torch_conv(
+            self.features,
+            self.kernel_size,
+            self.stride,
+            self.padding,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = TorchBatchNorm(
+            axis_name=self.axis_name, dtype=self.dtype, name="bn"
+        )(x, use_running_average=not train)
+        return nn.relu(x)
+
+
+def max_pool_3x3_s2(x):
+    """torch max_pool2d(kernel=3, stride=2, padding=1) in NHWC (-inf pad)."""
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        window_dimensions=(1, 3, 3, 1),
+        window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+
+
+def resize_bilinear(x, size):
+    """torch F.interpolate(mode='bilinear', align_corners=False) in NHWC:
+    half-pixel-center linear resize (jax.image.resize semantics)."""
+    b, _, _, c = x.shape
+    return jax.image.resize(x, (b, size[0], size[1], c), method="bilinear")

@@ -1,0 +1,200 @@
+"""Geometry-aware spherical fusion depth network (one-shot).
+
+Behavioral parity: model/spherical_model.py:190-314 in the torch reference —
+ERP -> tangent patches -> shared ResNet-34 encoder (+ geometric point
+features at layer1) -> per-patch 512-d tokens -> 6-layer/4-head transformer
+over the patch axis -> U-Net style decoder with encoder skips -> depth +
+confidence heads -> confidence-weighted pers2equi merge.
+
+TPU-native re-design:
+  - patch axis folds into the batch for all convs (no Conv3d (k,k,1)
+    emulation);
+  - both projections are precomputed sparse gather-blends;
+  - the token dimension is derived from the patch size
+    (32 * (patch/32)^2 = 512 at the published 128x128 patches); the
+    reference hard-codes 512, which crashes for 256x256 patches
+    (spherical_model.py:211-212 vs test.py:45);
+  - tokens are flattened channel-major to match the reference's
+    reshape(bs, -1, n_patch), so torch checkpoints import 1:1.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from omnifusion_tpu.models.layers import ConvBnReLU, TorchBatchNorm, resize_bilinear, torch_conv
+from omnifusion_tpu.models.resnet import ResNet34Encoder
+from omnifusion_tpu.models.transformer import TransformerCascade
+from omnifusion_tpu.projection.ops import equi2pers, pers2equi
+from omnifusion_tpu.projection.spec import (
+    ProjectionSpec,
+    build_equi2pers_grids,
+    build_pers2equi_grids,
+)
+
+MIN_DEPTH = 0.1
+MAX_DEPTH = 8.0
+
+
+class MlpPoints(nn.Module):
+    """Two 1x1 conv + BN + ReLU geometric embedding
+    (model/spherical_model.py:228-235)."""
+
+    hidden: int = 16
+    out: int = 64
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = torch_conv(self.hidden, 1, 1, 0, dtype=self.dtype, name="conv1")(x)
+        x = TorchBatchNorm(axis_name=self.axis_name, dtype=self.dtype, name="bn1")(
+            x, use_running_average=not train
+        )
+        x = nn.relu(x)
+        x = torch_conv(self.out, 1, 1, 0, dtype=self.dtype, name="conv2")(x)
+        x = TorchBatchNorm(axis_name=self.axis_name, dtype=self.dtype, name="bn2")(
+            x, use_running_average=not train
+        )
+        return nn.relu(x)
+
+
+class DepthTrunk(nn.Module):
+    """Shared encoder/transformer/decoder/heads over a patch stack.
+
+    Input patches (B, P, h, w, 3) and point features (B or 1, P, h/4, w/4, 64);
+    returns per-patch (depth, confidence), each (B, P, h, w, 1).
+    """
+
+    depth: int = 6
+    num_heads: int = 4
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, patches, point_feat, train: bool = False):
+        b, p, h, w, _ = patches.shape
+        kw = dict(axis_name=self.axis_name, dtype=self.dtype)
+        x = patches.reshape(b * p, h, w, patches.shape[-1])
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+
+        pf = jnp.broadcast_to(
+            point_feat, (b, p) + point_feat.shape[2:]
+        ).reshape(b * p, *point_feat.shape[2:])
+        feats = ResNet34Encoder(name="encoder", **kw)(
+            x, train=train, extra_layer1_features=pf.astype(x.dtype)
+        )
+        conv1, l1, l2, l3, l4 = (
+            feats["conv1"],
+            feats["layer1"],
+            feats["layer2"],
+            feats["layer3"],
+            feats["layer4"],
+        )
+
+        # global fusion: one channel-major-flattened token per patch
+        # (spherical_model.py:263-268)
+        hh, ww = l4.shape[1], l4.shape[2]
+        emb = 32 * hh * ww
+        tok = torch_conv(32, 1, 1, 0, use_bias=True, dtype=self.dtype, name="down")(l4)
+        tok = tok.reshape(b, p, hh, ww, 32).transpose(0, 1, 4, 2, 3).reshape(b, p, emb)
+        tok = TransformerCascade(
+            emb, p, depth=self.depth, num_heads=self.num_heads, name="transformer"
+        )(tok)
+        # token elements are re-interpreted as layer4 channels and broadcast
+        # over space (spherical_model.py:267-268); only valid when emb == 512,
+        # i.e. layer4 is 4x4 spatial (patch 128) — otherwise fold tokens back
+        # to their source spatial layout.
+        if emb == l4.shape[-1]:
+            l4 = l4 + tok[:, :, None, None, :].reshape(b * p, 1, 1, emb)
+        else:
+            tok_sp = tok.reshape(b, p, 32, hh, ww).transpose(0, 1, 3, 4, 2)
+            l4 = l4 + torch_conv(
+                l4.shape[-1], 1, 1, 0, use_bias=True, dtype=self.dtype, name="up_proj"
+            )(tok_sp.reshape(b * p, hh, ww, 32))
+
+        def up_stage(x, skip, c0, c1, name0, name1):
+            x = resize_bilinear(x, (skip.shape[1], skip.shape[2]))
+            x = ConvBnReLU(c0, name=name0, **kw)(x, train=train)
+            x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+            return ConvBnReLU(c1, name=name1, **kw)(x, train=train)
+
+        x = up_stage(l4, l3, 256, 128, "de_conv0_0", "de_conv0_1")
+        x = up_stage(x, l2, 128, 64, "de_conv1_0", "de_conv1_1")
+        x = up_stage(x, l1, 64, 64, "de_conv2_0", "de_conv2_1")
+        x = up_stage(x, conv1, 64, 32, "de_conv3_0", "de_conv3_1")
+        x = resize_bilinear(x, (h, w))
+        x = ConvBnReLU(32, name="de_conv4_0", **kw)(x, train=train)
+
+        pred = nn.relu(
+            torch_conv(1, 3, 1, 1, use_bias=True, dtype=self.dtype, name="pred")(x)
+        )
+        conf = nn.sigmoid(
+            torch_conv(1, 3, 1, 1, use_bias=True, dtype=self.dtype, name="weight_pred")(x)
+        )
+        out_shape = (b, p, h, w, 1)
+        return pred.reshape(out_shape), conf.reshape(out_shape)
+
+
+def confidence_merge(pred, conf, p2e_grids, use_confidence: bool = True):
+    """Merge per-patch depth to ERP with the confidence-weighted scheme
+    (spherical_model.py:304-311): pers2equi(pred*conf) / pers2equi(conf)."""
+    if not use_confidence:
+        return pers2equi(pred.astype(jnp.float32), p2e_grids)
+    pred = pred.astype(jnp.float32)
+    conf = conf.astype(jnp.float32)
+    num = pers2equi(pred * conf, p2e_grids)
+    den = pers2equi(conf, p2e_grids)
+    zero = (den <= 1e-8).astype(jnp.float32)
+    return num / (den + 1e-8 * zero)
+
+
+class SphericalFusion(nn.Module):
+    """One-shot model: ERP (B, H, W, 3) -> depth (B, H, W, 1)."""
+
+    spec: ProjectionSpec
+    depth: int = 6
+    num_heads: int = 4
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, rgb, train: bool = False, confidence: bool = True):
+        spec = self.spec
+        assert rgb.shape[1:3] == (spec.erp_h, spec.erp_w), (rgb.shape, spec)
+        b = rgb.shape[0]
+        p = spec.n_patches
+        grids_hr = build_equi2pers_grids(spec)
+        spec_q = spec.with_patch_scale(4)
+        grids_q = build_equi2pers_grids(spec_q)
+
+        patches = equi2pers(rgb, grids_hr)  # (B, P, h, w, 3)
+
+        # geometric embedding input: (center, rho=1, center) per patch pixel
+        # at quarter resolution (spherical_model.py:245-251)
+        centers = grids_q.centers  # (P, 2)
+        geo = jnp.concatenate(
+            [centers, jnp.ones((p, 1), jnp.float32), centers], axis=-1
+        )
+        geo = jnp.broadcast_to(
+            geo[:, None, None, :], (p, spec_q.patch_h, spec_q.patch_w, 5)
+        )
+        pf = MlpPoints(
+            axis_name=self.axis_name, dtype=self.dtype, name="mlp_points"
+        )(geo, train=train)
+
+        pred, conf = DepthTrunk(
+            depth=self.depth,
+            num_heads=self.num_heads,
+            axis_name=self.axis_name,
+            dtype=self.dtype,
+            name="trunk",
+        )(patches, pf[None], train=train)
+
+        return confidence_merge(
+            pred, conf, build_pers2equi_grids(spec), use_confidence=confidence
+        )

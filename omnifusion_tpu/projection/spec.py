@@ -176,12 +176,15 @@ def build_equi2pers_grids(spec: ProjectionSpec) -> Equi2PersGrids:
     uv = np.stack([lon_n, lat_n], axis=-1)
     centers = patch_centers_normalized(spec.nrows)
 
+    # NOTE: tables are kept as host numpy arrays — they become baked-in
+    # constants at trace time.  (Creating jnp arrays here would leak tracers
+    # into the lru_cache when the first build happens under a transform.)
     return Equi2PersGrids(
-        idx=jnp.asarray(idx, dtype=jnp.int32),
-        w=jnp.asarray(w, dtype=jnp.float32),
-        xyz=jnp.asarray(xyz, dtype=jnp.float32),
-        uv=jnp.asarray(uv, dtype=jnp.float32),
-        centers=jnp.asarray(centers, dtype=jnp.float32),
+        idx=np.asarray(idx, dtype=np.int32),
+        w=np.asarray(w, dtype=np.float32),
+        xyz=np.asarray(xyz, dtype=np.float32),
+        uv=np.asarray(uv, dtype=np.float32),
+        centers=np.asarray(centers, dtype=np.float32),
         spec=spec,
     )
 
@@ -256,7 +259,7 @@ def build_pers2equi_grids(spec: ProjectionSpec) -> Pers2EquiGrids:
     idx_k = np.where(w_k > 0, idx_k, 0)
 
     return Pers2EquiGrids(
-        idx=jnp.asarray(idx_k, dtype=jnp.int32),
-        w=jnp.asarray(w_k, dtype=jnp.float32),
+        idx=np.asarray(idx_k, dtype=np.int32),
+        w=np.asarray(w_k, dtype=np.float32),
         spec=spec,
     )

@@ -14,6 +14,14 @@ if "--xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The axon TPU plugin (loaded from sitecustomize) overrides platform
+# selection via jax.config, which beats the env var — override it back.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert jax.device_count() == 8, jax.device_count()
+
 import pathlib  # noqa: E402
 
 import numpy as np  # noqa: E402

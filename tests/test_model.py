@@ -1,0 +1,107 @@
+"""Model-level tests: shapes, finiteness, determinism, transformer behavior."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from omnifusion_tpu.models import SphericalFusion, TransformerCascade
+from omnifusion_tpu.projection import ProjectionSpec
+
+TINY = ProjectionSpec.create((128, 256), (32, 32), (80, 80), nrows=4)
+
+
+def _init_model(spec=TINY, **kw):
+    model = SphericalFusion(spec=spec, **kw)
+    rgb = jnp.zeros((1, spec.erp_h, spec.erp_w, 3))
+    variables = model.init(jax.random.PRNGKey(0), rgb, train=False)
+    return model, variables
+
+
+def test_forward_shapes_and_finiteness():
+    model, variables = _init_model()
+    rgb = jnp.asarray(
+        np.random.default_rng(0).random((2, 128, 256, 3), dtype=np.float32)
+    )
+    depth = model.apply(variables, rgb, train=False)
+    assert depth.shape == (2, 128, 256, 1)
+    assert bool(jnp.isfinite(depth).all())
+    assert float(depth.min()) >= 0.0  # ReLU'd depth / sigmoid confidence merge
+
+
+def test_forward_without_confidence():
+    model, variables = _init_model()
+    rgb = jnp.ones((1, 128, 256, 3))
+    depth = model.apply(variables, rgb, train=False, confidence=False)
+    assert depth.shape == (1, 128, 256, 1)
+    assert bool(jnp.isfinite(depth).all())
+
+
+def test_train_mode_updates_batch_stats():
+    model, variables = _init_model()
+    rgb = jnp.asarray(
+        np.random.default_rng(1).random((1, 128, 256, 3), dtype=np.float32)
+    )
+    depth, mutated = model.apply(
+        variables, rgb, train=True, mutable=["batch_stats"]
+    )
+    assert bool(jnp.isfinite(depth).all())
+    old = jax.tree_util.tree_leaves(variables["batch_stats"])
+    new = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    changed = any(not np.allclose(a, b) for a, b in zip(old, new))
+    assert changed
+
+
+def test_jit_forward_deterministic():
+    model, variables = _init_model()
+    rgb = jnp.asarray(
+        np.random.default_rng(2).random((1, 128, 256, 3), dtype=np.float32)
+    )
+    f = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    a = f(variables, rgb)
+    b = f(variables, rgb)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_param_count_resnet34_scale():
+    _, variables = _init_model()
+    n = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+    # tiny config: resnet34 (21.3M) + decoder + emb-32 transformer
+    assert 20e6 < n < 30e6, n
+
+    # published config (erp 512x1024, patch 128 -> emb 512): count via
+    # eval_shape so no compute happens
+    spec = ProjectionSpec.create((512, 1024), (128, 128), (80, 80), nrows=4)
+    model = SphericalFusion(spec=spec)
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 512, 1024, 3)))
+    )
+    n = sum(
+        int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(shapes["params"])
+    )
+    # resnet34 21.3M + 6-layer/512-dim transformer ~19M + decoder ~5M
+    assert 40e6 < n < 60e6, n
+
+
+def test_transformer_permutation_equivariance():
+    """No masking: permuting tokens together with pos_emb permutes outputs."""
+    dim, p = 64, 10
+    tc = TransformerCascade(dim, p, depth=2, num_heads=4)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((1, p, dim)), jnp.float32)
+    variables = tc.init(jax.random.PRNGKey(1), x)
+    perm = np.random.default_rng(4).permutation(p)
+
+    y = tc.apply(variables, x)
+    # permute both input and positional embedding
+    v2 = jax.tree_util.tree_map(lambda a: a, variables)
+    params = dict(v2["params"])
+    params["pos_emb"] = variables["params"]["pos_emb"][:, perm]
+    y2 = tc.apply({"params": params}, x[:, perm])
+    np.testing.assert_allclose(np.asarray(y[:, perm]), np.asarray(y2), atol=1e-5)
+
+
+def test_bf16_compute_path():
+    model, variables = _init_model(dtype=jnp.bfloat16)
+    rgb = jnp.ones((1, 128, 256, 3))
+    depth = model.apply(variables, rgb, train=False)
+    assert depth.dtype == jnp.float32  # merge happens in f32
+    assert bool(jnp.isfinite(depth).all())
