@@ -1,0 +1,68 @@
+"""Benchmark: panoramas/sec/chip for flagship one-shot inference.
+
+Canonical config (BASELINE.json / README.md:58-66 of the reference):
+512x1024 ERP, fov 80, nrows 4 (18 tangent patches), one-shot spherical
+fusion.  Prints ONE JSON line.
+
+vs_baseline: the reference repo publishes no throughput (SURVEY.md §6;
+thop imported but never called, test.py:32).  The baseline constant below
+is a documented engineering estimate of the torch reference on its target
+GPU (V100-class): ~40 GFLOP forward at achievable ~4 TFLOP/s utilization
+plus its per-call CPU grid rebuild => ~10 panoramas/sec.  BASELINE.json's
+north star of >=10x per-chip throughput corresponds to vs_baseline >= 10.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_PANOS_PER_SEC = 10.0  # documented estimate, see module docstring
+BATCH = 8
+ITERS = 20
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from omnifusion_tpu.models import SphericalFusion
+    from omnifusion_tpu.projection import ProjectionSpec
+
+    spec = ProjectionSpec.create((512, 1024), (128, 128), (80, 80), nrows=4)
+    model = SphericalFusion(spec=spec)
+    rgb1 = jnp.zeros((1, 512, 1024, 3), jnp.float32)
+    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), rgb1))()
+
+    # distinct inputs per call + block_until_ready per call: repeated identical
+    # dispatches can be elided by the runtime and overstate throughput
+    inputs = [
+        jnp.asarray(
+            np.random.default_rng(i).random((BATCH, 512, 1024, 3), dtype=np.float32)
+        )
+        for i in range(4)
+    ]
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    fwd(variables, inputs[0]).block_until_ready()  # compile + warm-up
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        fwd(variables, inputs[i % len(inputs)]).block_until_ready()
+    dt = time.perf_counter() - t0
+
+    panos_per_sec = BATCH * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "panoramas/sec/chip (512x1024 ERP, fov 80, nrows 4, one-shot)",
+                "value": round(panos_per_sec, 2),
+                "unit": "panoramas/sec",
+                "vs_baseline": round(panos_per_sec / REFERENCE_PANOS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

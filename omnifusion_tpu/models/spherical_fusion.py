@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from omnifusion_tpu.models.layers import ConvBnReLU, TorchBatchNorm, resize_bilinear, torch_conv
+from omnifusion_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, constrain
 from omnifusion_tpu.models.resnet import ResNet34Encoder
 from omnifusion_tpu.models.transformer import TransformerCascade
 from omnifusion_tpu.projection.ops import equi2pers, pers2equi
@@ -79,6 +80,9 @@ class DepthTrunk(nn.Module):
         b, p, h, w, _ = patches.shape
         kw = dict(axis_name=self.axis_name, dtype=self.dtype)
         x = patches.reshape(b * p, h, w, patches.shape[-1])
+        # DP over batch, patch-axis model parallelism over the folded
+        # (batch*patch) dim; no-op outside a mesh context
+        x = constrain(x, (DATA_AXIS, MODEL_AXIS))
         if self.dtype is not None:
             x = x.astype(self.dtype)
 
@@ -102,6 +106,9 @@ class DepthTrunk(nn.Module):
         emb = 32 * hh * ww
         tok = torch_conv(32, 1, 1, 0, use_bias=True, dtype=self.dtype, name="down")(l4)
         tok = tok.reshape(b, p, hh, ww, 32).transpose(0, 1, 4, 2, 3).reshape(b, p, emb)
+        # global attention needs every patch token: replicate the patch axis
+        # (GSPMD inserts one tiny all-gather of <=46x512 values over ICI)
+        tok = constrain(tok, DATA_AXIS, None, None)
         tok = TransformerCascade(
             emb, p, depth=self.depth, num_heads=self.num_heads, name="transformer"
         )(tok)
@@ -110,7 +117,8 @@ class DepthTrunk(nn.Module):
         # i.e. layer4 is 4x4 spatial (patch 128) — otherwise fold tokens back
         # to their source spatial layout.
         if emb == l4.shape[-1]:
-            l4 = l4 + tok[:, :, None, None, :].reshape(b * p, 1, 1, emb)
+            l4 = l4 + tok.reshape(b * p, 1, 1, emb)
+            l4 = constrain(l4, (DATA_AXIS, MODEL_AXIS))
         else:
             tok_sp = tok.reshape(b, p, 32, hh, ww).transpose(0, 1, 3, 4, 2)
             l4 = l4 + torch_conv(

@@ -1,0 +1,17 @@
+from omnifusion_tpu.parallel.mesh import (
+    make_mesh,
+    constrain,
+    batch_sharding,
+    replicated_sharding,
+    DATA_AXIS,
+    MODEL_AXIS,
+)
+
+__all__ = [
+    "make_mesh",
+    "constrain",
+    "batch_sharding",
+    "replicated_sharding",
+    "DATA_AXIS",
+    "MODEL_AXIS",
+]

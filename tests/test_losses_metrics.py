@@ -1,0 +1,167 @@
+"""Loss/metric parity against torch-computed references (same formulas
+evaluated with torch ops inside the tests — the reference repo's semantics,
+not its code)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from omnifusion_tpu.losses import berhu_loss, l1_loss, ssim_gaussian, ssim_box
+from omnifusion_tpu.evaluation import compute_depth_metrics, masked_median
+from omnifusion_tpu.evaluation.meters import AverageMeter, MetricAccumulator
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+
+def _rand_depths(seed, bs=2, h=16, w=32):
+    rng = np.random.default_rng(seed)
+    pred = (rng.random((bs, h, w, 1)) * 7 + 0.2).astype(np.float32)
+    gt = (rng.random((bs, h, w, 1)) * 7 + 0.2).astype(np.float32)
+    mask = (rng.random((bs, h, w, 1)) > 0.3).astype(np.float32)
+    return pred, gt, mask
+
+
+def _torch_berhu(pred, gt, mask, weights):
+    # the reference formula (supervision/direct.py:3-20) in torch
+    bs = pred.shape[0]
+    diff = gt - pred
+    abs_diff = torch.abs(diff)
+    c = torch.max(abs_diff).item() / 5
+    leq = (abs_diff <= c).float()
+    l2 = (diff**2 + c**2) / (2 * c)
+    loss = (leq * abs_diff + (1 - leq) * l2).reshape(bs, -1)
+    mask = mask.reshape(bs, -1)
+    weights = weights.reshape(bs, -1)
+    count = torch.sum(mask, dim=[1], keepdim=True).float()
+    return torch.mean(torch.sum(loss * mask * weights, dim=[1], keepdim=True) / count)
+
+
+def test_berhu_matches_torch_formula():
+    pred, gt, mask = _rand_depths(0)
+    ours = float(berhu_loss(jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(mask)))
+    theirs = float(
+        _torch_berhu(
+            torch.from_numpy(pred),
+            torch.from_numpy(gt),
+            torch.from_numpy(mask),
+            torch.ones_like(torch.from_numpy(mask)),
+        )
+    )
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5)
+
+
+def test_berhu_gradient_matches_torch():
+    pred, gt, mask = _rand_depths(1)
+    g_ours = np.asarray(
+        jax.grad(
+            lambda p: berhu_loss(p, jnp.asarray(gt), jnp.asarray(mask))
+        )(jnp.asarray(pred))
+    )
+    t_pred = torch.from_numpy(pred).requires_grad_(True)
+    loss = _torch_berhu(
+        t_pred,
+        torch.from_numpy(gt),
+        torch.from_numpy(mask),
+        torch.ones_like(torch.from_numpy(mask)),
+    )
+    loss.backward()
+    np.testing.assert_allclose(g_ours, t_pred.grad.numpy(), atol=1e-6)
+
+
+def test_berhu_zero_diff_is_finite():
+    x = jnp.ones((1, 4, 4, 1))
+    loss = berhu_loss(x, x, jnp.ones_like(x))
+    assert float(loss) == 0.0
+
+
+def test_l1_matches_reference_formula():
+    pred, gt, mask = _rand_depths(2)
+    ours = float(l1_loss(jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(mask)))
+    t_pred, t_gt, t_mask = map(torch.from_numpy, (pred, gt, mask))
+    loss = torch.abs(t_gt - t_pred)
+    count = torch.sum(t_mask, dim=[1, 2, 3], keepdim=True).float()
+    theirs = float(torch.mean(torch.sum(loss * t_mask, dim=[1, 2, 3], keepdim=True) / count))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-6)
+
+
+def test_masked_median_matches_torch():
+    rng = np.random.default_rng(3)
+    for seed in range(3):
+        v = rng.random((1, 8, 8, 1)).astype(np.float32)
+        m = (rng.random((1, 8, 8, 1)) > 0.5).astype(np.float32)
+        ours = float(jax.jit(masked_median)(jnp.asarray(v), jnp.asarray(m)))
+        theirs = float(torch.from_numpy(v)[torch.from_numpy(m) > 0].median())
+        np.testing.assert_allclose(ours, theirs, rtol=1e-6)
+
+
+def test_depth_metrics_match_torch_indexing():
+    pred, gt, mask = _rand_depths(4)
+    metrics, n = jax.jit(compute_depth_metrics)(
+        jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(mask)
+    )
+    t_pred, t_gt, t_mask = map(torch.from_numpy, (pred, gt, mask))
+    scale = t_gt[t_mask > 0].median() / t_pred[t_mask > 0].median()
+    t_pred = t_pred * scale
+    sel = t_mask > 0
+    ref = {
+        "abs_rel": ((t_pred[sel] - t_gt[sel]).abs() / t_gt[sel]).mean(),
+        "sq_rel": (((t_pred[sel] - t_gt[sel]) ** 2) / t_gt[sel]).mean(),
+        "lin_rms_sq": ((t_pred[sel] - t_gt[sel]) ** 2).mean(),
+        "d1": (torch.max(t_pred[sel] / t_gt[sel], t_gt[sel] / t_pred[sel]) < 1.25)
+        .float()
+        .mean(),
+    }
+    lsel = sel & (t_pred > 1e-7) & (t_gt > 1e-7)
+    ref["log_rms_sq"] = ((t_pred[lsel].log() - t_gt[lsel].log()) ** 2).mean()
+    for k, v in ref.items():
+        np.testing.assert_allclose(float(metrics[k]), float(v), rtol=2e-5, err_msg=k)
+    assert float(n) == float(sel.sum())
+
+
+def test_ssim_gaussian_matches_torch():
+    rng = np.random.default_rng(5)
+    a = rng.random((1, 16, 16, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.1, a.shape), 0, 1).astype(np.float32)
+    ours = np.asarray(ssim_gaussian(jnp.asarray(a), jnp.asarray(b), 11, 1.5))
+
+    # torch reference: depthwise gaussian conv SSIM (supervision/ssim.py:24-55)
+    g = np.exp(-((np.arange(11) - 5) ** 2) / (2 * 1.5**2))
+    g /= g.sum()
+    win = torch.from_numpy(np.outer(g, g).astype(np.float32))[None, None].repeat(3, 1, 1, 1)
+    ta, tb = (torch.from_numpy(x.transpose(0, 3, 1, 2)) for x in (a, b))
+
+    def blur(x):
+        return F.conv2d(x, win, padding=5, groups=3)
+
+    mu_a, mu_b = blur(ta), blur(tb)
+    sa = blur(ta * ta) - mu_a**2
+    sb = blur(tb * tb) - mu_b**2
+    cov = blur(ta * tb) - mu_a * mu_b
+    c1, c2 = 0.01**2, 0.03**2
+    ref = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
+        (mu_a**2 + mu_b**2 + c1) * (sa + sb + c2)
+    )
+    np.testing.assert_allclose(ours, ref.numpy().transpose(0, 2, 3, 1), atol=1e-5)
+    # identical images -> SSIM ~ 1
+    self_sim = np.asarray(ssim_gaussian(jnp.asarray(a), jnp.asarray(a)))
+    np.testing.assert_allclose(self_sim, 1.0, atol=1e-4)
+
+
+def test_ssim_box_shape_and_padding():
+    a = jnp.ones((1, 8, 8, 1))
+    s = ssim_box(a, a, 3)
+    assert s.shape == (1, 8, 8, 1)
+    assert float(s[0, 0, 0, 0]) == 0.0  # zero-padded border (reference behavior)
+
+
+def test_average_meter():
+    m = AverageMeter()
+    m.update(1.0, 2)
+    m.update(4.0, 1)
+    np.testing.assert_allclose(m.avg, 2.0)
+    acc = MetricAccumulator()
+    acc.update({"a": 1.0}, 2)
+    acc.update({"a": 4.0}, 1)
+    np.testing.assert_allclose(acc.averages()["a"], 2.0)

@@ -1,0 +1,130 @@
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from omnifusion_tpu.models import SphericalFusion, SphericalFusionIterative
+from omnifusion_tpu.projection import ProjectionSpec
+from omnifusion_tpu.training import (
+    CheckpointManager,
+    cosine_warm_restarts,
+    create_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+
+TINY = ProjectionSpec.create((64, 128), (16, 16), (80, 80), nrows=4)
+
+
+def _batch(seed=0, bs=2, spec=TINY):
+    rng = np.random.default_rng(seed)
+    return {
+        "rgb": jnp.asarray(rng.random((bs, spec.erp_h, spec.erp_w, 3), dtype=np.float32)),
+        "depth": jnp.asarray(
+            (rng.random((bs, spec.erp_h, spec.erp_w, 1)) * 7 + 0.3).astype(np.float32)
+        ),
+        "mask": jnp.ones((bs, spec.erp_h, spec.erp_w, 1), jnp.float32),
+    }
+
+
+def test_cosine_warm_restarts_matches_torch():
+    torch = pytest.importorskip("torch")
+    sched = cosine_warm_restarts(1e-4, t_0=5, t_mult=2)
+    opt = torch.optim.AdamW([torch.nn.Parameter(torch.zeros(1))], lr=1e-4)
+    t_sched = torch.optim.lr_scheduler.CosineAnnealingWarmRestarts(opt, T_0=5, T_mult=2)
+    for epoch in range(40):
+        ours = float(sched(epoch))
+        theirs = t_sched.get_last_lr()[0]
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5, err_msg=f"epoch {epoch}")
+        t_sched.step()
+
+    # T_mult=1 branch
+    sched1 = cosine_warm_restarts(1e-3, t_0=3, t_mult=1)
+    opt1 = torch.optim.AdamW([torch.nn.Parameter(torch.zeros(1))], lr=1e-3)
+    t1 = torch.optim.lr_scheduler.CosineAnnealingWarmRestarts(opt1, T_0=3, T_mult=1)
+    for epoch in range(10):
+        np.testing.assert_allclose(float(sched1(epoch)), t1.get_last_lr()[0], rtol=1e-5)
+        t1.step()
+
+
+def test_train_step_decreases_loss():
+    model = SphericalFusion(spec=TINY)
+    batch = _batch()
+    tx = make_optimizer(lr=1e-3, steps_per_epoch=1000)
+    state = create_train_state(model, jax.random.PRNGKey(0), batch["rgb"], tx)
+    step = make_train_step(model, donate=False)
+    losses = []
+    for _ in range(5):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses)), losses
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 5
+
+
+def test_train_step_iterative_model():
+    model = SphericalFusionIterative(spec=TINY, num_iters=2)
+    batch = _batch(1)
+    tx = make_optimizer(lr=1e-3)
+    state = create_train_state(model, jax.random.PRNGKey(0), batch["rgb"], tx)
+    step = make_train_step(model, confidence=False, iterative=True, donate=False)
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_eval_step():
+    model = SphericalFusion(spec=TINY)
+    batch = _batch(2)
+    tx = make_optimizer()
+    state = create_train_state(model, jax.random.PRNGKey(0), batch["rgb"], tx)
+    eval_step = make_eval_step(model)
+    metrics, n, pred = eval_step(state.params, state.batch_stats, batch)
+    assert float(n) == batch["mask"].sum()
+    assert np.isfinite(float(metrics["abs_rel"]))
+    assert pred.shape == batch["depth"].shape
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model = SphericalFusion(spec=TINY)
+    batch = _batch(3)
+    tx = make_optimizer()
+    state = create_train_state(model, jax.random.PRNGKey(0), batch["rgb"], tx)
+    step = make_train_step(model, donate=False)
+    state, _ = step(state, batch)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(state, best=True)
+    assert mgr.exists("latest") and mgr.exists("best")
+
+    fresh = create_train_state(model, jax.random.PRNGKey(1), batch["rgb"], tx)
+    restored = mgr.restore(fresh)
+    assert int(restored.step) == 1
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(restored.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    variables = mgr.restore_variables("best")
+    assert "params" in variables and "batch_stats" in variables
+
+
+def test_sharded_train_step_on_mesh():
+    """Full DP+patch-SP training step over the virtual 8-device CPU mesh."""
+    from omnifusion_tpu.parallel import make_mesh, batch_sharding
+
+    model = SphericalFusion(spec=TINY)
+    batch = _batch(4, bs=8)
+    tx = make_optimizer(lr=1e-3)
+    state = create_train_state(model, jax.random.PRNGKey(0), batch["rgb"], tx)
+    mesh = make_mesh(n_data=4, n_model=2)
+    with jax.set_mesh(mesh):
+        sharded_batch = jax.device_put(batch, batch_sharding(mesh))
+        step = make_train_step(model, donate=False)
+        state2, metrics = step(state, sharded_batch)
+    loss_sharded = float(metrics["loss"])
+
+    # identical step on a single device must produce the same loss
+    step1 = make_train_step(model, donate=False)
+    _, metrics1 = step1(state, batch)
+    np.testing.assert_allclose(loss_sharded, float(metrics1["loss"]), rtol=2e-4)
