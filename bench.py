@@ -20,8 +20,8 @@ import time
 import numpy as np
 
 REFERENCE_PANOS_PER_SEC = 10.0  # documented estimate, see module docstring
-BATCH = 8
-ITERS = 20
+BATCH = 64  # the TPU gather fast path needs a wide batch*channel dim
+ITERS = 4
 
 
 def main():
@@ -35,20 +35,22 @@ def main():
     rgb1 = jnp.zeros((1, 512, 1024, 3), jnp.float32)
     variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), rgb1))()
 
-    # distinct inputs per call + block_until_ready per call: repeated identical
-    # dispatches can be elided by the runtime and overstate throughput
+    # Honest timing on this runtime requires BOTH: distinct inputs per call
+    # (identical dispatches get elided) AND materializing a device-computed
+    # scalar (block_until_ready can return before execution completes) —
+    # see PERF_NOTES.md.
     inputs = [
         jnp.asarray(
             np.random.default_rng(i).random((BATCH, 512, 1024, 3), dtype=np.float32)
         )
-        for i in range(4)
+        for i in range(ITERS)
     ]
-    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
-    fwd(variables, inputs[0]).block_until_ready()  # compile + warm-up
+    fwd_sum = jax.jit(lambda v, x: model.apply(v, x, train=False).sum())
+    float(fwd_sum(variables, inputs[0]))  # compile + warm-up
 
     t0 = time.perf_counter()
     for i in range(ITERS):
-        fwd(variables, inputs[i % len(inputs)]).block_until_ready()
+        float(fwd_sum(variables, inputs[i]))
     dt = time.perf_counter() - t0
 
     panos_per_sec = BATCH * ITERS / dt

@@ -1,0 +1,112 @@
+"""Shared CLI plumbing: the reference's flag surface, parsed properly.
+
+Flag names mirror train_erp_depth.py:31-68 / test.py:34-65 so existing
+configs translate 1:1.  Notably --patchsize is a proper "H,W" or "N" parser
+(the reference declares type=list with a tuple default, which silently
+breaks when passed on the CLI — SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def apply_runtime_env():
+    """Honor JAX_PLATFORMS even when a platform plugin overrode it via
+    jax.config at import time, and enable the persistent compile cache."""
+    import jax
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/omnifusion_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def pair_arg(value: str) -> tuple[int, int]:
+    parts = [p for p in value.replace("(", "").replace(")", "").split(",") if p.strip()]
+    if len(parts) == 1:
+        v = int(parts[0])
+        return (v, v)
+    if len(parts) == 2:
+        return (int(parts[0]), int(parts[1]))
+    raise argparse.ArgumentTypeError(f"expected 'N' or 'H,W', got {value!r}")
+
+
+def add_common_args(parser: argparse.ArgumentParser, train: bool):
+    parser.add_argument("--input_dir", default="./data/", help="dataset root path")
+    parser.add_argument("--trainfile", default="./filenames/train.txt")
+    parser.add_argument("--testfile", default="./filenames/test.txt")
+    parser.add_argument(
+        "--dataset",
+        default="stanford",
+        choices=["stanford", "matterport", "360d", "synthetic"],
+    )
+    parser.add_argument("--patchsize", type=pair_arg, default=(128, 128))
+    parser.add_argument("--fov", type=float, default=80.0)
+    parser.add_argument("--nrows", type=int, default=4, choices=[3, 4, 5, 6])
+    parser.add_argument("--erp_size", type=pair_arg, default=(512, 1024))
+    parser.add_argument("--iter", dest="iters", type=int, default=2)
+    parser.add_argument("--confidence", action="store_true")
+    parser.add_argument("--model", default="oneshot", choices=["oneshot", "iterative"])
+    parser.add_argument("--batch", type=int, default=8 if train else 2)
+    parser.add_argument("--checkpoint", default=None, help="checkpoint to load (orbax dir or torch .pth)")
+    parser.add_argument("--save_path", default="./results/run")
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    if train:
+        parser.add_argument("--epochs", type=int, default=100)
+        parser.add_argument("--lr", type=float, default=1e-4)
+        parser.add_argument("--weight_decay", type=float, default=0.01)
+        parser.add_argument("--t0", type=int, default=5, help="cosine warm restart T_0")
+        parser.add_argument("--t_mult", type=int, default=2)
+        parser.add_argument("--visualize_interval", type=int, default=20)
+        parser.add_argument("--val_interval", type=int, default=2, help="epochs between validations")
+        parser.add_argument("--save_checkpoint", default=None, help="checkpoint dir (default save_path/ckpt)")
+        parser.add_argument("--tensorboard_path", default=None)
+        parser.add_argument("--workers", type=int, default=8)
+    else:
+        parser.add_argument("--visualize_interval", type=int, default=20)
+        parser.add_argument("--save_ply", action="store_true")
+    return parser
+
+
+def build_model(args):
+    import jax.numpy as jnp
+
+    from omnifusion_tpu.models import SphericalFusion, SphericalFusionIterative
+    from omnifusion_tpu.projection import ProjectionSpec
+
+    spec = ProjectionSpec.create(
+        args.erp_size, args.patchsize, (args.fov, args.fov), args.nrows
+    )
+    dtype = jnp.bfloat16 if args.bf16 else None
+    if args.model == "iterative":
+        return SphericalFusionIterative(spec=spec, num_iters=args.iters, dtype=dtype), spec
+    return SphericalFusion(spec=spec, dtype=dtype), spec
+
+
+def build_dataset(args, split_file: str, train: bool):
+    from omnifusion_tpu.data import make_dataset
+
+    if args.dataset == "synthetic":
+        return make_dataset(
+            "synthetic",
+            size=32 if train else 8,
+            pano_h=args.erp_size[0],
+            pano_w=args.erp_size[1],
+            seed=args.seed,
+        )
+    return make_dataset(
+        args.dataset,
+        args.input_dir,
+        split_file,
+        rotate=train,
+        flip=train,
+        seed=args.seed,
+    )

@@ -1,0 +1,166 @@
+"""Training entry point (parity: train_erp_depth.py / train_erp_depth_iterative.py).
+
+    python -m omnifusion_tpu.cli.train --dataset stanford --input_dir ... \
+        --trainfile filenames/train_stanford2d3d.txt --fov 80 --nrows 4 \
+        --patchsize 128 --batch 8 --epochs 100
+
+Improvements over the reference trainers: proper CLI parsing of --patchsize,
+optimizer state in checkpoints with exact resume via --checkpoint (the
+reference declares the flag but never reads it, SURVEY.md §5), no
+rmtree of previous results, CSV + tensorboard logging, BerHu loss over all
+iterations for the iterative model.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import time
+
+import numpy as np
+
+from omnifusion_tpu.cli.common import add_common_args, build_dataset, build_model
+
+
+def run_training(args) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from omnifusion_tpu.data import DataLoader
+    from omnifusion_tpu.evaluation import MetricAccumulator
+    from omnifusion_tpu.models.torch_import import (
+        import_iterative_checkpoint,
+        import_oneshot_checkpoint,
+        load_torch_state_dict,
+        merge_pretrained,
+    )
+    from omnifusion_tpu.training import (
+        CheckpointManager,
+        create_train_state,
+        make_eval_step,
+        make_optimizer,
+        make_train_step,
+    )
+
+    model, spec = build_model(args)
+    iterative = args.model == "iterative"
+    confidence = True if not iterative else args.confidence
+
+    train_ds = build_dataset(args, args.trainfile, train=True)
+    val_ds = build_dataset(args, args.testfile, train=False)
+    train_loader = DataLoader(
+        train_ds,
+        args.batch,
+        shuffle=True,
+        num_workers=getattr(args, "workers", 2),
+        seed=args.seed,
+    )
+    val_loader = DataLoader(val_ds, args.batch, shuffle=False, num_workers=2, drop_last=False)
+
+    tx = make_optimizer(
+        args.lr, args.weight_decay, args.t0, args.t_mult, steps_per_epoch=max(len(train_loader), 1)
+    )
+    sample = jnp.zeros((1, spec.erp_h, spec.erp_w, 3))
+    state = create_train_state(model, jax.random.PRNGKey(args.seed), sample, tx)
+
+    os.makedirs(args.save_path, exist_ok=True)
+    ckpt_dir = args.save_checkpoint or os.path.join(args.save_path, "ckpt")
+    mgr = CheckpointManager(ckpt_dir)
+    if args.checkpoint:
+        if os.path.isfile(args.checkpoint):  # torch .pth
+            sd = load_torch_state_dict(args.checkpoint)
+            imp = import_iterative_checkpoint(sd) if iterative else import_oneshot_checkpoint(sd)
+            state = state.replace(
+                params=merge_pretrained({"params": state.params}, {"params": imp["params"]})["params"],
+                batch_stats=merge_pretrained(
+                    {"batch_stats": state.batch_stats}, {"batch_stats": imp["batch_stats"]}
+                )["batch_stats"],
+            )
+        else:
+            state = mgr.restore(state, os.path.basename(args.checkpoint) or "latest")
+
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    print(f"## model: {args.model}  params: {n_params/1e6:.1f}M  patches: {spec.n_patches}")
+    print(f"## patch size: {(spec.patch_h, spec.patch_w)}  fov: {args.fov}  nrows: {args.nrows}")
+
+    train_step = make_train_step(model, confidence=confidence, iterative=iterative, donate=False)
+    eval_step = make_eval_step(model, confidence=confidence)
+
+    writer = None
+    tb_path = getattr(args, "tensorboard_path", None)
+    if tb_path:
+        from torch.utils.tensorboard import SummaryWriter
+
+        writer = SummaryWriter(log_dir=tb_path)
+
+    csv_path = os.path.join(args.save_path, "result_log.csv")
+    new_csv = not os.path.exists(csv_path)
+    history: dict = {"train_loss": [], "val": []}
+    best_abs_rel = float("inf")
+
+    with open(csv_path, "a", newline="") as csvfile:
+        csvwriter = csv.writer(csvfile)
+        if new_csv:
+            csvwriter.writerow(
+                ["epoch", "loss", "abs_rel", "sq_rel", "lin_rms_sq", "log_rms_sq", "d1", "d2", "d3"]
+            )
+
+        for epoch in range(args.epochs):
+            t0 = time.time()
+            losses = []
+            for it, batch in enumerate(train_loader):
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                state, metrics = train_step(state, batch)
+                losses.append(float(metrics["loss"]))
+                if writer and it % args.visualize_interval == 0:
+                    step = int(state.step)
+                    writer.add_scalar("train/loss", losses[-1], step)
+                    writer.add_scalar("train/grad_norm", float(metrics["grad_norm"]), step)
+            mean_loss = float(np.mean(losses)) if losses else float("nan")
+            history["train_loss"].append(mean_loss)
+            print(
+                f"epoch {epoch}: loss {mean_loss:.4f}  ({time.time() - t0:.1f}s, "
+                f"{len(losses)} steps)"
+            )
+            mgr.save(state, "latest")
+
+            if (epoch + 1) % args.val_interval == 0 or epoch == args.epochs - 1:
+                acc = MetricAccumulator()
+                for batch in val_loader:
+                    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                    m, n, _ = eval_step(state.params, state.batch_stats, batch)
+                    acc.update({k: float(v) for k, v in m.items()}, float(n))
+                avg = acc.averages()
+                history["val"].append({"epoch": epoch, **avg})
+                print("  val:", {k: round(v, 4) for k, v in avg.items()})
+                csvwriter.writerow(
+                    [epoch, mean_loss] + [avg.get(k, "") for k in
+                     ("abs_rel", "sq_rel", "lin_rms_sq", "log_rms_sq", "d1", "d2", "d3")]
+                )
+                csvfile.flush()
+                if writer:
+                    for k, v in avg.items():
+                        writer.add_scalar(f"val/{k}", v, epoch)
+                if avg.get("abs_rel", float("inf")) < best_abs_rel:
+                    best_abs_rel = avg["abs_rel"]
+                    mgr.save(state, "latest", best=True)
+
+    if writer:
+        writer.close()
+    history["best_abs_rel"] = best_abs_rel
+    return history
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="OmniFusion-TPU training")
+    add_common_args(parser, train=True)
+    args = parser.parse_args(argv)
+    from omnifusion_tpu.cli.common import apply_runtime_env
+
+    apply_runtime_env()
+    run_training(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,19 @@
+from omnifusion_tpu.data.datasets import (
+    PanoDepthDataset,
+    StanfordDataset,
+    MatterportDataset,
+    ThreeSixtyDDataset,
+    SyntheticDataset,
+    make_dataset,
+)
+from omnifusion_tpu.data.loader import DataLoader
+
+__all__ = [
+    "PanoDepthDataset",
+    "StanfordDataset",
+    "MatterportDataset",
+    "ThreeSixtyDDataset",
+    "SyntheticDataset",
+    "make_dataset",
+    "DataLoader",
+]

@@ -7,12 +7,15 @@ from omnifusion_tpu.models.spherical_fusion import (
     MAX_DEPTH,
 )
 from omnifusion_tpu.models.iterative import SphericalFusionIterative
+from omnifusion_tpu.models.segmentation import SphericalFusionSeg, cross_entropy_ignore
 from omnifusion_tpu.models.resnet import ResNet34Encoder
 from omnifusion_tpu.models.transformer import TransformerCascade
 
 __all__ = [
     "SphericalFusion",
     "SphericalFusionIterative",
+    "SphericalFusionSeg",
+    "cross_entropy_ignore",
     "DepthTrunk",
     "MlpPoints",
     "confidence_merge",

@@ -1,0 +1,88 @@
+"""Semantic-segmentation spherical fusion.
+
+The reference ships a segmentation trainer (train_erp_sem.py) that is
+unrunnable: it imports a nonexistent dataset module and calls the model with
+a legacy signature (SURVEY.md §2.5).  This is the working equivalent: same
+geometry-aware trunk, a num_classes logit head (no ReLU), logits merged to
+ERP with the confidence-weighted pers2equi blend, cross-entropy with
+ignore-index -1 (train_erp_sem.py:203), mIoU eval via
+omnifusion_tpu.utils.iou.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from omnifusion_tpu.models.spherical_fusion import DepthTrunk, MlpPoints
+from omnifusion_tpu.projection.ops import equi2pers, pers2equi
+from omnifusion_tpu.projection.spec import (
+    ProjectionSpec,
+    build_equi2pers_grids,
+    build_pers2equi_grids,
+)
+
+
+class SphericalFusionSeg(nn.Module):
+    """ERP (B, H, W, 3) -> class logits (B, H, W, num_classes)."""
+
+    spec: ProjectionSpec
+    num_classes: int = 13  # Stanford2D3D semantic classes (iou.py)
+    depth: int = 6
+    num_heads: int = 4
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, rgb, train: bool = False, confidence: bool = True):
+        spec = self.spec
+        assert rgb.shape[1:3] == (spec.erp_h, spec.erp_w), (rgb.shape, spec)
+        p = spec.n_patches
+        grids_hr = build_equi2pers_grids(spec)
+        spec_q = spec.with_patch_scale(4)
+        grids_q = build_equi2pers_grids(spec_q)
+
+        patches = equi2pers(rgb, grids_hr)
+        centers = grids_q.centers
+        geo = jnp.concatenate([centers, jnp.ones((p, 1), jnp.float32), centers], -1)
+        geo = jnp.broadcast_to(
+            geo[:, None, None, :], (p, spec_q.patch_h, spec_q.patch_w, 5)
+        )
+        pf = MlpPoints(axis_name=self.axis_name, dtype=self.dtype, name="mlp_points")(
+            geo, train=train
+        )
+        logits, conf = DepthTrunk(
+            depth=self.depth,
+            num_heads=self.num_heads,
+            pred_channels=self.num_classes,
+            pred_activation="none",
+            axis_name=self.axis_name,
+            dtype=self.dtype,
+            name="trunk",
+        )(patches, pf[None], train=train)
+
+        logits = logits.astype(jnp.float32)
+        p2e = build_pers2equi_grids(spec)
+        if confidence:
+            conf = conf.astype(jnp.float32)
+            num = pers2equi(logits * conf, p2e)
+            den = pers2equi(conf, p2e)
+            zero = (den <= 1e-8).astype(jnp.float32)
+            return num / (den + 1e-8 * zero)
+        return pers2equi(logits, p2e)
+
+
+def cross_entropy_ignore(logits, labels, ignore_index: int = -1):
+    """Mean cross-entropy over labels != ignore_index
+    (train_erp_sem.py:203 semantics).
+
+    logits: (B, H, W, C); labels: (B, H, W) int.
+    """
+    valid = labels != ignore_index
+    safe = jnp.where(valid, labels, 0)
+    logp = nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    return jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)

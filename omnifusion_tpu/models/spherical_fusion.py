@@ -72,6 +72,8 @@ class DepthTrunk(nn.Module):
 
     depth: int = 6
     num_heads: int = 4
+    pred_channels: int = 1
+    pred_activation: str = "relu"  # 'relu' for depth, 'none' for seg logits
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
@@ -138,25 +140,34 @@ class DepthTrunk(nn.Module):
         x = resize_bilinear(x, (h, w))
         x = ConvBnReLU(32, name="de_conv4_0", **kw)(x, train=train)
 
-        pred = nn.relu(
-            torch_conv(1, 3, 1, 1, use_bias=True, dtype=self.dtype, name="pred")(x)
-        )
+        pred = torch_conv(
+            self.pred_channels, 3, 1, 1, use_bias=True, dtype=self.dtype, name="pred"
+        )(x)
+        if self.pred_activation == "relu":
+            pred = nn.relu(pred)
         conf = nn.sigmoid(
             torch_conv(1, 3, 1, 1, use_bias=True, dtype=self.dtype, name="weight_pred")(x)
         )
-        out_shape = (b, p, h, w, 1)
-        return pred.reshape(out_shape), conf.reshape(out_shape)
+        return (
+            pred.reshape(b, p, h, w, self.pred_channels),
+            conf.reshape(b, p, h, w, 1),
+        )
 
 
 def confidence_merge(pred, conf, p2e_grids, use_confidence: bool = True):
     """Merge per-patch depth to ERP with the confidence-weighted scheme
-    (spherical_model.py:304-311): pers2equi(pred*conf) / pers2equi(conf)."""
+    (spherical_model.py:304-311): pers2equi(pred*conf) / pers2equi(conf).
+
+    pred*conf and conf are packed into one 2-channel pers2equi call: the
+    gather's leading (batch*channel) dim doubles, which matters because the
+    TPU gather switches to a vectorized fast path once that dim reaches 64
+    (see PERF_NOTES.md)."""
     if not use_confidence:
         return pers2equi(pred.astype(jnp.float32), p2e_grids)
     pred = pred.astype(jnp.float32)
     conf = conf.astype(jnp.float32)
-    num = pers2equi(pred * conf, p2e_grids)
-    den = pers2equi(conf, p2e_grids)
+    merged = pers2equi(jnp.concatenate([pred * conf, conf], axis=-1), p2e_grids)
+    num, den = merged[..., :1], merged[..., 1:]
     zero = (den <= 1e-8).astype(jnp.float32)
     return num / (den + 1e-8 * zero)
 

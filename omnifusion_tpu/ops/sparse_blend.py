@@ -16,6 +16,46 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def quad_gather_blend(
+    src_flat: jnp.ndarray, idx: jnp.ndarray, w4: jnp.ndarray, row_stride: int
+) -> jnp.ndarray:
+    """Bilinear-quad gather-blend: one fetch per (output pixel, source patch).
+
+    TPU gathers cost ~6ns per fetched slice regardless of width, so the
+    per-CORNER gather (4 fetches per sample) is 4x slower than fetching the
+    whole 2x2 bilinear quad at once.  The source is packed with three rolled
+    copies so each quad [I[y0,x0], I[y0,x0+1], I[y1,x0], I[y1,x0+1]] is one
+    contiguous slice; border-clamped corners must have their weight FOLDED
+    into the surviving corner at table-build time (the rolled values wrap
+    across row/patch boundaries there and carry zero weight).
+
+    Args:
+      src_flat: (B, N_in, C).
+      idx: (N_out, K) int32 flat index of each quad's top-left corner.
+      w4: (N_out, K, 4) weights in [w00, w01, w10, w11] order.
+      row_stride: flat-index distance between vertically adjacent pixels.
+
+    Returns:
+      (B, N_out, C).
+    """
+    b, n_in, c = src_flat.shape
+    n_out, k = idx.shape
+    # channels ride in the batch dim: minor dims stay tiny and fusable
+    s = src_flat.transpose(0, 2, 1).reshape(b * c, n_in)
+    packed = jnp.stack(
+        [
+            s,
+            jnp.roll(s, -1, axis=1),
+            jnp.roll(s, -row_stride, axis=1),
+            jnp.roll(s, -(row_stride + 1), axis=1),
+        ],
+        axis=-1,
+    )  # (B*C, N_in, 4)
+    g = jnp.take(packed, idx.reshape(-1), axis=1).reshape(b * c, n_out, k, 4)
+    out = jnp.einsum("dnkq,nkq->dn", g, w4.astype(src_flat.dtype))
+    return out.reshape(b, c, n_out).transpose(0, 2, 1)
+
+
 def gather_blend(src_flat: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """Weighted gather along the pixel axis.
 

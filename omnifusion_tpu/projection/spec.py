@@ -80,14 +80,17 @@ class ProjectionSpec:
 
 @struct.dataclass
 class Equi2PersGrids:
-    """Static tables for ERP -> tangent patches (all arrays device-resident).
+    """Static tables for ERP -> tangent patches.
 
-    idx/w implement bilinear sampling with border padding and
-    align_corners=True semantics (torch F.grid_sample parity).
+    idx/w4 implement bilinear sampling with border padding and
+    align_corners=True semantics (torch F.grid_sample parity) in quad form:
+    one fetch of the 2x2 neighborhood per output pixel, border-clamped
+    corner weights folded into the surviving corner (see
+    omnifusion_tpu.ops.sparse_blend.quad_gather_blend).
     """
 
-    idx: jnp.ndarray  # (P*h*w, 4) int32, flat indices into erp_h*erp_w
-    w: jnp.ndarray  # (P*h*w, 4) float32 bilinear weights
+    idx: jnp.ndarray  # (P*h*w, 1) int32 top-left corner into erp_h*erp_w
+    w4: jnp.ndarray  # (P*h*w, 1, 4) float32 quad weights [00, 01, 10, 11]
     xyz: jnp.ndarray  # (P, h, w, 3) unit-sphere coords per patch pixel
     uv: jnp.ndarray  # (P, h, w, 2) normalized (lon, lat) in [-1, 1]
     centers: jnp.ndarray  # (P, 2) normalized patch centers in [-1, 1]
@@ -98,13 +101,13 @@ class Equi2PersGrids:
 class Pers2EquiGrids:
     """Static tables for tangent patches -> ERP (confidence-style blending).
 
-    Per ERP pixel: top-K flat indices into the (P*h*w) patch stack and the
-    pre-normalized blend weights (sum over K is 1 wherever any patch covers
-    the pixel, 0 elsewhere).
+    Per ERP pixel: the top-left corner index of a bilinear quad in each of
+    the <=K contributing patches, plus pre-normalized quad weights
+    (sum over K*4 is 1 wherever any patch covers the pixel, 0 elsewhere).
     """
 
-    idx: jnp.ndarray  # (erp_h*erp_w, K) int32
-    w: jnp.ndarray  # (erp_h*erp_w, K) float32
+    idx: jnp.ndarray  # (erp_h*erp_w, K) int32 into P*h*w
+    w4: jnp.ndarray  # (erp_h*erp_w, K, 4) float32 [00, 01, 10, 11]
     spec: ProjectionSpec = struct.field(pytree_node=False)
 
 
@@ -135,6 +138,26 @@ def _forward_angles(spec: ProjectionSpec):
     return lon, lat
 
 
+def _fold_clamped_corners(w4: np.ndarray, x_clamped: np.ndarray, y_clamped: np.ndarray) -> np.ndarray:
+    """Fold the weights of border-clamped bilinear corners into the
+    coincident surviving corner (x1==x0 and/or y1==y0 after clamping).
+
+    Makes quad fetches safe: the rolled neighbor values at those positions
+    are garbage (they wrap across a row/patch boundary) but carry weight 0.
+    w4 order: [w00, w01, w10, w11]; x_clamped/y_clamped broadcast to w4[..., 0].
+    """
+    w00, w01, w10, w11 = (w4[..., i] for i in range(4))
+    w00 = w00 + np.where(x_clamped, w01, 0.0)
+    w10 = w10 + np.where(x_clamped, w11, 0.0)
+    w01 = np.where(x_clamped, 0.0, w01)
+    w11 = np.where(x_clamped, 0.0, w11)
+    w00 = w00 + np.where(y_clamped, w10, 0.0)
+    w01 = w01 + np.where(y_clamped, w11, 0.0)
+    w10 = np.where(y_clamped, 0.0, w10)
+    w11 = np.where(y_clamped, 0.0, w11)
+    return np.stack([w00, w01, w10, w11], axis=-1)
+
+
 @functools.lru_cache(maxsize=None)
 def build_equi2pers_grids(spec: ProjectionSpec) -> Equi2PersGrids:
     lon, lat = _forward_angles(spec)
@@ -150,24 +173,17 @@ def build_equi2pers_grids(spec: ProjectionSpec) -> Equi2PersGrids:
 
     x0 = np.floor(ix).astype(np.int64)
     y0 = np.floor(iy).astype(np.int64)
-    x1 = np.minimum(x0 + 1, spec.erp_w - 1)
-    y1 = np.minimum(y0 + 1, spec.erp_h - 1)
     fx = ix - x0
     fy = iy - y0
 
-    def flat(yy, xx):
-        return (yy * spec.erp_w + xx).reshape(-1)
-
-    idx = np.stack([flat(y0, x0), flat(y0, x1), flat(y1, x0), flat(y1, x1)], axis=-1)
-    w = np.stack(
-        [
-            ((1 - fy) * (1 - fx)).reshape(-1),
-            ((1 - fy) * fx).reshape(-1),
-            (fy * (1 - fx)).reshape(-1),
-            (fy * fx).reshape(-1),
-        ],
-        axis=-1,
+    w4 = np.stack(
+        [(1 - fy) * (1 - fx), (1 - fy) * fx, fy * (1 - fx), fy * fx], axis=-1
     )
+    w4 = _fold_clamped_corners(
+        w4, x0 + 1 > spec.erp_w - 1, y0 + 1 > spec.erp_h - 1
+    )
+    idx = (y0 * spec.erp_w + x0).reshape(-1, 1)
+    w4 = w4.reshape(-1, 1, 4)
 
     cos_lat = np.cos(lat)
     xyz = np.stack(
@@ -181,7 +197,7 @@ def build_equi2pers_grids(spec: ProjectionSpec) -> Equi2PersGrids:
     # into the lru_cache when the first build happens under a transform.)
     return Equi2PersGrids(
         idx=np.asarray(idx, dtype=np.int32),
-        w=np.asarray(w, dtype=np.float32),
+        w4=np.asarray(w4, dtype=np.float32),
         xyz=np.asarray(xyz, dtype=np.float32),
         uv=np.asarray(uv, dtype=np.float32),
         centers=np.asarray(centers, dtype=np.float32),
@@ -226,40 +242,44 @@ def build_pers2equi_grids(spec: ProjectionSpec) -> Pers2EquiGrids:
 
     # Bilinear corner weights computed from the *clamped* corners, then
     # masked and thresholded — matching pers2equi_v3.py:139-152,191.
+    # Quad order [00, 01, 10, 11] = [(y0,x0), (y0,x1), (y1,x0), (y1,x1)].
     with np.errstate(invalid="ignore"):
-        wa = (x1 - x_pix) * (y1 - y_pix) * mask
-        wb = (x1 - x_pix) * (y_pix - y0) * mask
-        wc = (x_pix - x0) * (y1 - y_pix) * mask
-        wd = (x_pix - x0) * (y_pix - y0) * mask
-    w_all = np.stack([wa, wb, wc, wd], axis=-1)  # (P, H, W, 4)
+        w00 = (x1 - x_pix) * (y1 - y_pix) * mask
+        w01 = (x_pix - x0) * (y1 - y_pix) * mask
+        w10 = (x1 - x_pix) * (y_pix - y0) * mask
+        w11 = (x_pix - x0) * (y_pix - y0) * mask
+    w_all = np.stack([w00, w01, w10, w11], axis=-1)  # (P, H, W, 4)
     w_all = np.nan_to_num(w_all, nan=0.0, posinf=0.0, neginf=0.0)
     w_all = w_all * (w_all > 1e-5)
 
-    patch_base = (np.arange(P, dtype=np.int64) * (ph * pw))[:, None, None]
-    ia = patch_base + y0 * pw + x0
-    ib = patch_base + y1 * pw + x0
-    ic = patch_base + y0 * pw + x1
-    id_ = patch_base + y1 * pw + x1
-    idx_all = np.stack([ia, ib, ic, id_], axis=-1)  # (P, H, W, 4)
-
-    # flatten to (N, P*4) with N = erp pixels; normalize jointly over all
-    # patch/corner contributions per pixel (pers2equi_v3.py:189-192).
+    # normalize jointly over all patch/corner contributions per pixel
+    # (pers2equi_v3.py:189-192)
     N = erp_h * erp_w
-    w_flat = w_all.transpose(1, 2, 0, 3).reshape(N, P * 4)
-    idx_flat = idx_all.transpose(1, 2, 0, 3).reshape(N, P * 4)
-    denom = np.maximum(w_flat.sum(axis=1, keepdims=True), 1e-12)
-    w_flat = w_flat / denom
+    w_px = w_all.transpose(1, 2, 0, 3).reshape(N, P, 4)
+    denom = np.maximum(w_px.sum(axis=(1, 2), keepdims=True), 1e-12)
+    w_px = w_px / denom
 
-    # compact to top-K nonzero contributions per pixel
-    K = int((w_flat > 0).sum(axis=1).max())
-    order = np.argsort(-w_flat, axis=1, kind="stable")[:, :K]
+    # fold clamped corners so quad fetches are safe, AFTER normalization
+    # (the folded pairs point at the same source pixel, so sums are equal)
+    xc = (x1 == x0).transpose(1, 2, 0).reshape(N, P)
+    yc = (y1 == y0).transpose(1, 2, 0).reshape(N, P)
+    w_px = _fold_clamped_corners(w_px, xc, yc)
+
+    base = (
+        (np.arange(P, dtype=np.int64) * (ph * pw))[:, None, None] + y0 * pw + x0
+    )  # (P, H, W)
+    base_px = base.transpose(1, 2, 0).reshape(N, P)
+
+    # compact to the top-K contributing patches per pixel
+    totals = w_px.sum(axis=-1)  # (N, P)
+    K = max(int((totals > 0).sum(axis=1).max()), 1)
+    order = np.argsort(-totals, axis=1, kind="stable")[:, :K]
     rows = np.arange(N)[:, None]
-    w_k = w_flat[rows, order]
-    idx_k = idx_flat[rows, order]
-    idx_k = np.where(w_k > 0, idx_k, 0)
+    w_k = w_px[rows, order]  # (N, K, 4)
+    idx_k = np.where(totals[rows, order] > 0, base_px[rows, order], 0)
 
     return Pers2EquiGrids(
         idx=np.asarray(idx_k, dtype=np.int32),
-        w=np.asarray(w_k, dtype=np.float32),
+        w4=np.asarray(w_k, dtype=np.float32),
         spec=spec,
     )

@@ -22,6 +22,10 @@ jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert jax.device_count() == 8, jax.device_count()
 
+# persistent compilation cache: repeated suite runs skip XLA recompiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/omnifusion_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import pathlib  # noqa: E402
 
 import numpy as np  # noqa: E402

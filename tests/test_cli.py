@@ -1,0 +1,72 @@
+"""End-to-end CLI smoke tests on synthetic data (tiny configs)."""
+
+import numpy as np
+
+from omnifusion_tpu.cli.common import pair_arg
+from omnifusion_tpu.cli.test import run_eval
+from omnifusion_tpu.cli.train import run_training
+
+
+def _args(parser_train, extra, tmp_path):
+    import argparse
+
+    from omnifusion_tpu.cli.common import add_common_args
+
+    parser = argparse.ArgumentParser()
+    add_common_args(parser, train=parser_train)
+    base = [
+        "--dataset", "synthetic",
+        "--erp_size", "64,128",
+        "--patchsize", "16",
+        "--batch", "2",
+        "--save_path", str(tmp_path),
+    ]
+    return parser.parse_args(base + extra)
+
+
+def test_pair_arg():
+    assert pair_arg("128") == (128, 128)
+    assert pair_arg("256,128") == (256, 128)
+    assert pair_arg("(64, 32)") == (64, 32)
+
+
+def test_train_cli_one_epoch(tmp_path):
+    args = _args(True, ["--epochs", "1", "--val_interval", "1", "--lr", "1e-3", "--workers", "1"], tmp_path)
+    history = run_training(args)
+    assert len(history["train_loss"]) == 1
+    assert np.isfinite(history["train_loss"][0])
+    assert len(history["val"]) == 1
+    assert (tmp_path / "result_log.csv").exists()
+    assert (tmp_path / "ckpt").exists()
+
+    # resume from the saved checkpoint
+    args2 = _args(
+        True,
+        ["--epochs", "1", "--val_interval", "1", "--workers", "1",
+         "--checkpoint", str(tmp_path / "ckpt" / "latest")],
+        tmp_path,
+    )
+    history2 = run_training(args2)
+    assert np.isfinite(history2["train_loss"][0])
+
+
+def test_eval_cli_from_checkpoint(tmp_path):
+    args = _args(True, ["--epochs", "1", "--val_interval", "1", "--workers", "1"], tmp_path)
+    run_training(args)
+
+    eval_args = _args(
+        False,
+        ["--checkpoint", str(tmp_path / "ckpt" / "best"), "--visualize_interval", "2"],
+        tmp_path,
+    )
+    avg = run_eval(eval_args)
+    assert np.isfinite(avg["abs_rel"])
+    assert "d1" in avg
+
+
+def test_eval_cli_iterative_random_init(tmp_path):
+    eval_args = _args(
+        False, ["--model", "iterative", "--iter", "2", "--visualize_interval", "0"], tmp_path
+    )
+    avg = run_eval(eval_args)
+    assert np.isfinite(avg["abs_rel"])

@@ -102,7 +102,7 @@ def test_roundtrip_reconstruction_quality():
 def test_pers2equi_weights_are_normalized():
     spec = _spec((128, 256), 32, 80, 4)
     grids = build_pers2equi_grids(spec)
-    sums = np.asarray(grids.w.sum(axis=-1))
+    sums = np.asarray(grids.w4.sum(axis=(-1, -2)))
     covered = sums > 0
     assert covered.mean() > 0.99  # nrows=4 fov=80 covers the full sphere
     np.testing.assert_allclose(sums[covered], 1.0, atol=1e-6)
