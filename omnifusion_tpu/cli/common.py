@@ -59,6 +59,11 @@ def add_common_args(parser: argparse.ArgumentParser, train: bool):
     parser.add_argument("--save_path", default="./results/run")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    parser.add_argument(
+        "--no_transformer",
+        action="store_true",
+        help="legacy variant without global patch fusion (network_360d.py)",
+    )
     if train:
         parser.add_argument("--epochs", type=int, default=100)
         parser.add_argument("--lr", type=float, default=1e-4)
@@ -70,6 +75,10 @@ def add_common_args(parser: argparse.ArgumentParser, train: bool):
         parser.add_argument("--save_checkpoint", default=None, help="checkpoint dir (default save_path/ckpt)")
         parser.add_argument("--tensorboard_path", default=None)
         parser.add_argument("--workers", type=int, default=8)
+        parser.add_argument(
+            "--profile_dir", default=None,
+            help="capture a jax.profiler trace of steps 10-14 of epoch 0",
+        )
     else:
         parser.add_argument("--visualize_interval", type=int, default=20)
         parser.add_argument("--save_ply", action="store_true")
@@ -86,9 +95,15 @@ def build_model(args):
         args.erp_size, args.patchsize, (args.fov, args.fov), args.nrows
     )
     dtype = jnp.bfloat16 if args.bf16 else None
+    use_tf = not getattr(args, "no_transformer", False)
     if args.model == "iterative":
-        return SphericalFusionIterative(spec=spec, num_iters=args.iters, dtype=dtype), spec
-    return SphericalFusion(spec=spec, dtype=dtype), spec
+        return (
+            SphericalFusionIterative(
+                spec=spec, num_iters=args.iters, dtype=dtype, use_transformer=use_tf
+            ),
+            spec,
+        )
+    return SphericalFusion(spec=spec, dtype=dtype, use_transformer=use_tf), spec
 
 
 def build_dataset(args, split_file: str, train: bool):

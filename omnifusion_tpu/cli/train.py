@@ -21,6 +21,7 @@ import time
 import numpy as np
 
 from omnifusion_tpu.cli.common import add_common_args, build_dataset, build_model
+from omnifusion_tpu.utils.profiling import Throughput
 
 
 def run_training(args) -> dict:
@@ -106,13 +107,21 @@ def run_training(args) -> dict:
                 ["epoch", "loss", "abs_rel", "sq_rel", "lin_rms_sq", "log_rms_sq", "d1", "d2", "d3"]
             )
 
+        throughput = Throughput()
+        profile_dir = getattr(args, "profile_dir", None)
         for epoch in range(args.epochs):
             t0 = time.time()
             losses = []
             for it, batch in enumerate(train_loader):
+                if profile_dir and epoch == 0 and it == 10:
+                    jax.profiler.start_trace(profile_dir)
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 state, metrics = train_step(state, batch)
                 losses.append(float(metrics["loss"]))
+                throughput.update(args.batch)
+                if profile_dir and epoch == 0 and it == 14:
+                    jax.profiler.stop_trace()
+                    print(f"## wrote profiler trace to {profile_dir}")
                 if writer and it % args.visualize_interval == 0:
                     step = int(state.step)
                     writer.add_scalar("train/loss", losses[-1], step)
@@ -121,16 +130,33 @@ def run_training(args) -> dict:
             history["train_loss"].append(mean_loss)
             print(
                 f"epoch {epoch}: loss {mean_loss:.4f}  ({time.time() - t0:.1f}s, "
-                f"{len(losses)} steps)"
+                f"{len(losses)} steps, {throughput.per_sec:.1f} panos/s)"
             )
             mgr.save(state, "latest")
 
             if (epoch + 1) % args.val_interval == 0 or epoch == args.epochs - 1:
                 acc = MetricAccumulator()
+                first_vis = writer is not None
                 for batch in val_loader:
                     batch = {k: jnp.asarray(v) for k, v in batch.items()}
-                    m, n, _ = eval_step(state.params, state.batch_stats, batch)
+                    m, n, pred = eval_step(state.params, state.batch_stats, batch)
                     acc.update({k: float(v) for k, v in m.items()}, float(n))
+                    if first_vis:
+                        # image logging parity (train_erp_depth.py:281-290)
+                        from omnifusion_tpu.utils import colorize
+
+                        writer.add_image(
+                            "RGB", np.asarray(batch["rgb"][0]), epoch, dataformats="HWC"
+                        )
+                        writer.add_image(
+                            "depth gt", colorize(np.asarray(batch["depth"][0])), epoch,
+                            dataformats="HWC",
+                        )
+                        writer.add_image(
+                            "depth pred", colorize(np.asarray(pred[0])), epoch,
+                            dataformats="HWC",
+                        )
+                        first_vis = False
                 avg = acc.averages()
                 history["val"].append({"epoch": epoch, **avg})
                 print("  val:", {k: round(v, 4) for k, v in avg.items()})

@@ -3,7 +3,9 @@ from omnifusion_tpu.data.datasets import (
     StanfordDataset,
     MatterportDataset,
     ThreeSixtyDDataset,
+    SemanticDataset,
     SyntheticDataset,
+    SyntheticSemanticDataset,
     make_dataset,
 )
 from omnifusion_tpu.data.loader import DataLoader
@@ -13,7 +15,9 @@ __all__ = [
     "StanfordDataset",
     "MatterportDataset",
     "ThreeSixtyDDataset",
+    "SemanticDataset",
     "SyntheticDataset",
+    "SyntheticSemanticDataset",
     "make_dataset",
     "DataLoader",
 ]

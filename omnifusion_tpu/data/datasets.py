@@ -186,6 +186,68 @@ class ThreeSixtyDDataset(PanoDepthDataset):
         return read_exr_r(path)
 
 
+class SemanticDataset(PanoDepthDataset):
+    """RGB + semantic labels from 3-column split lists (rgb depth semantic).
+
+    The reference's segmentation dataset module is absent from its repo
+    (train_erp_sem.py:18 imports a nonexistent ``dataset_sem``); this is the
+    working equivalent.  Label maps are PNGs of uint8 class ids; 255 decodes
+    to the ignore index -1 (cross-entropy ignore, train_erp_sem.py:203).
+    """
+
+    def __getitem__(self, idx: int):
+        import cv2
+
+        paths = self.image_list[idx]
+        rgb = self.read_rgb(self.root_path + paths[0]).astype(np.float32) / 255.0
+        sem_path = self.root_path + (paths[2] if len(paths) > 2 else paths[1])
+        sem = cv2.imread(sem_path, -1)
+        if sem is None:
+            raise FileNotFoundError(f"cannot read label map {sem_path!r}")
+        if sem.ndim == 3:
+            sem = sem[..., 0]
+        sem = cv2.resize(
+            sem.astype(np.int32), (self.pano_w, self.pano_h),
+            interpolation=cv2.INTER_NEAREST,
+        )
+        labels = np.where(sem == 255, -1, sem).astype(np.int32)
+
+        if self.flip and self.rng.integers(2) == 0:
+            rgb = np.flip(rgb, axis=1)
+            labels = np.flip(labels, axis=1)
+        if self.rotate:
+            q = rgb.shape[1] // 4
+            dx = int(self.rng.integers(rgb.shape[1])) // q * q
+            rgb = np.roll(rgb, dx, axis=1)
+            labels = np.roll(labels, dx, axis=1)
+        return (
+            np.ascontiguousarray(rgb, dtype=np.float32),
+            np.ascontiguousarray(labels),
+        )
+
+
+class SyntheticSemanticDataset:
+    """Procedural panorama/label pairs for segmentation smoke tests."""
+
+    def __init__(self, size=16, pano_h=128, pano_w=256, num_classes=13, seed=0):
+        self.size, self.pano_h, self.pano_w = size, pano_h, pano_w
+        self.num_classes, self.seed = num_classes, seed
+
+    def __len__(self):
+        return self.size
+
+    def __getitem__(self, idx):
+        rng = np.random.default_rng(self.seed * 9176 + idx)
+        h, w, c = self.pano_h, self.pano_w, self.num_classes
+        yy, xx = np.mgrid[0:h, 0:w]
+        labels = ((xx // (w // 4) + yy // (h // 4)) % c).astype(np.int32)
+        rgb = np.stack(
+            [labels / c, ((labels * 37) % c) / c, ((labels * 11) % c) / c], -1
+        ).astype(np.float32)
+        rgb += rng.normal(0, 0.02, rgb.shape).astype(np.float32)
+        return np.clip(rgb, 0, 1), labels
+
+
 class SyntheticDataset:
     """Procedural panorama/depth pairs for smoke tests and benchmarks."""
 
@@ -221,6 +283,7 @@ _DATASETS = {
     "stanford": StanfordDataset,
     "matterport": MatterportDataset,
     "360d": ThreeSixtyDDataset,
+    "semantic": SemanticDataset,
     "synthetic": None,
 }
 

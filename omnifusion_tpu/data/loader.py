@@ -52,8 +52,12 @@ class DataLoader:
 
     def _load_batch(self, indices) -> dict[str, np.ndarray]:
         samples = [self.dataset[int(i)] for i in indices]
-        rgb, depth, mask = (np.stack(x) for x in zip(*samples))
-        return {"rgb": rgb, "depth": depth, "mask": mask}
+        cols = [np.stack(x) for x in zip(*samples)]
+        if len(cols) == 3:  # depth datasets: (rgb, depth, mask)
+            return {"rgb": cols[0], "depth": cols[1], "mask": cols[2]}
+        if len(cols) == 2:  # segmentation datasets: (rgb, labels)
+            return {"rgb": cols[0], "labels": cols[1]}
+        raise ValueError(f"unexpected sample arity {len(cols)}")
 
     def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
         self._epoch += 1

@@ -8,6 +8,7 @@ from omnifusion_tpu.evaluation.metrics import (
     compute_depth_metrics,
 )
 from omnifusion_tpu.evaluation.meters import AverageMeter, MetricAccumulator
+from omnifusion_tpu.evaluation.chamfer import chamfer_distance, chamfer_distance_symmetric
 
 __all__ = [
     "abs_rel_error",
@@ -19,4 +20,6 @@ __all__ = [
     "compute_depth_metrics",
     "AverageMeter",
     "MetricAccumulator",
+    "chamfer_distance",
+    "chamfer_distance_symmetric",
 ]

@@ -78,3 +78,17 @@ def patch_centers_radians(nrows: int) -> np.ndarray:
     out[:, 0] = n[:, 0] * np.pi
     out[:, 1] = n[:, 1] * (np.pi / 2.0)
     return out
+
+
+def uniform_patch_centers(num_rows: int, num_cols: int) -> np.ndarray:
+    """Uniform-grid patch centers (the v2 layout, equi_pers/equi2pers_v2.py:26-35):
+    rows at the midpoints of linspace(-90, 90, rows+1), columns at the
+    midpoints of linspace(-180, 180, cols+1).  Returns (rows*cols, 2) degrees
+    as (theta in (0, 360), phi in (-90, 90)), row-major from the bottom row.
+    """
+    rows = np.linspace(-90.0, 90.0, num_rows + 1)
+    rows = (rows[:-1] + rows[1:]) * 0.5
+    cols = np.linspace(-180.0, 180.0, num_cols + 1)
+    cols = (cols[:-1] + cols[1:]) * 0.5
+    centers = [(c + 180.0, r) for r in rows for c in cols]
+    return np.asarray(centers, dtype=np.float64)

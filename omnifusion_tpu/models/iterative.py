@@ -39,6 +39,7 @@ class SphericalFusionIterative(nn.Module):
     num_iters: int = 2
     depth: int = 6
     num_heads: int = 4
+    use_transformer: bool = True
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
@@ -54,6 +55,7 @@ class SphericalFusionIterative(nn.Module):
         trunk = DepthTrunk(
             depth=self.depth,
             num_heads=self.num_heads,
+            use_transformer=self.use_transformer,
             axis_name=self.axis_name,
             dtype=self.dtype,
             name="trunk",

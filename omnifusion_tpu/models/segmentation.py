@@ -32,6 +32,7 @@ class SphericalFusionSeg(nn.Module):
     num_classes: int = 13  # Stanford2D3D semantic classes (iou.py)
     depth: int = 6
     num_heads: int = 4
+    use_transformer: bool = True
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
@@ -58,6 +59,7 @@ class SphericalFusionSeg(nn.Module):
             num_heads=self.num_heads,
             pred_channels=self.num_classes,
             pred_activation="none",
+            use_transformer=self.use_transformer,
             axis_name=self.axis_name,
             dtype=self.dtype,
             name="trunk",

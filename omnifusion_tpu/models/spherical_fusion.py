@@ -74,6 +74,7 @@ class DepthTrunk(nn.Module):
     num_heads: int = 4
     pred_channels: int = 1
     pred_activation: str = "relu"  # 'relu' for depth, 'none' for seg logits
+    use_transformer: bool = True  # False = legacy variant (network_360d.py:330-335)
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
@@ -103,29 +104,31 @@ class DepthTrunk(nn.Module):
         )
 
         # global fusion: one channel-major-flattened token per patch
-        # (spherical_model.py:263-268)
-        hh, ww = l4.shape[1], l4.shape[2]
-        emb = 32 * hh * ww
-        tok = torch_conv(32, 1, 1, 0, use_bias=True, dtype=self.dtype, name="down")(l4)
-        tok = tok.reshape(b, p, hh, ww, 32).transpose(0, 1, 4, 2, 3).reshape(b, p, emb)
-        # global attention needs every patch token: replicate the patch axis
-        # (GSPMD inserts one tiny all-gather of <=46x512 values over ICI)
-        tok = constrain(tok, DATA_AXIS, None, None)
-        tok = TransformerCascade(
-            emb, p, depth=self.depth, num_heads=self.num_heads, name="transformer"
-        )(tok)
-        # token elements are re-interpreted as layer4 channels and broadcast
-        # over space (spherical_model.py:267-268); only valid when emb == 512,
-        # i.e. layer4 is 4x4 spatial (patch 128) — otherwise fold tokens back
-        # to their source spatial layout.
-        if emb == l4.shape[-1]:
-            l4 = l4 + tok.reshape(b * p, 1, 1, emb)
-            l4 = constrain(l4, (DATA_AXIS, MODEL_AXIS))
-        else:
-            tok_sp = tok.reshape(b, p, 32, hh, ww).transpose(0, 1, 3, 4, 2)
-            l4 = l4 + torch_conv(
-                l4.shape[-1], 1, 1, 0, use_bias=True, dtype=self.dtype, name="up_proj"
-            )(tok_sp.reshape(b * p, hh, ww, 32))
+        # (spherical_model.py:263-268); use_transformer=False reproduces the
+        # legacy no-fusion variant (network_360d.py:330-335)
+        if self.use_transformer:
+            hh, ww = l4.shape[1], l4.shape[2]
+            emb = 32 * hh * ww
+            tok = torch_conv(32, 1, 1, 0, use_bias=True, dtype=self.dtype, name="down")(l4)
+            tok = tok.reshape(b, p, hh, ww, 32).transpose(0, 1, 4, 2, 3).reshape(b, p, emb)
+            # global attention needs every patch token: replicate the patch
+            # axis (GSPMD inserts one tiny all-gather over ICI)
+            tok = constrain(tok, DATA_AXIS, None, None)
+            tok = TransformerCascade(
+                emb, p, depth=self.depth, num_heads=self.num_heads, name="transformer"
+            )(tok)
+            # token elements are re-interpreted as layer4 channels and
+            # broadcast over space (spherical_model.py:267-268); only valid
+            # when emb == 512, i.e. layer4 is 4x4 spatial (patch 128) —
+            # otherwise fold tokens back to their source spatial layout.
+            if emb == l4.shape[-1]:
+                l4 = l4 + tok.reshape(b * p, 1, 1, emb)
+                l4 = constrain(l4, (DATA_AXIS, MODEL_AXIS))
+            else:
+                tok_sp = tok.reshape(b, p, 32, hh, ww).transpose(0, 1, 3, 4, 2)
+                l4 = l4 + torch_conv(
+                    l4.shape[-1], 1, 1, 0, use_bias=True, dtype=self.dtype, name="up_proj"
+                )(tok_sp.reshape(b * p, hh, ww, 32))
 
         def up_stage(x, skip, c0, c1, name0, name1):
             x = resize_bilinear(x, (skip.shape[1], skip.shape[2]))
@@ -178,6 +181,7 @@ class SphericalFusion(nn.Module):
     spec: ProjectionSpec
     depth: int = 6
     num_heads: int = 4
+    use_transformer: bool = True
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
@@ -209,6 +213,7 @@ class SphericalFusion(nn.Module):
         pred, conf = DepthTrunk(
             depth=self.depth,
             num_heads=self.num_heads,
+            use_transformer=self.use_transformer,
             axis_name=self.axis_name,
             dtype=self.dtype,
             name="trunk",

@@ -6,6 +6,7 @@ from omnifusion_tpu.projection.spec import (
     build_pers2equi_grids,
 )
 from omnifusion_tpu.projection.ops import equi2pers, pers2equi
+from omnifusion_tpu.projection.perspective import extract_views
 
 __all__ = [
     "ProjectionSpec",

@@ -33,6 +33,7 @@ from omnifusion_tpu.geometry.layout import (
     num_patches,
     patch_centers_normalized,
     patch_centers_radians,
+    uniform_patch_centers,
 )
 
 
@@ -51,9 +52,12 @@ class ProjectionSpec:
     fov_h: float
     fov_w: float
     nrows: int
+    layout: str = "rings"  # "rings" (equi2pers_v3) or "uniform:RxC" (v2)
 
     @classmethod
-    def create(cls, erp_size, patch_size, fov=(80, 80), nrows: int = 4) -> "ProjectionSpec":
+    def create(
+        cls, erp_size, patch_size, fov=(80, 80), nrows: int = 4, layout: str = "rings"
+    ) -> "ProjectionSpec":
         erp_h, erp_w = _pair(erp_size)
         patch_h, patch_w = _pair(patch_size)
         fov_h, fov_w = _pair(fov)
@@ -65,11 +69,41 @@ class ProjectionSpec:
             fov_h=float(fov_h),
             fov_w=float(fov_w),
             nrows=int(nrows),
+            layout=str(layout),
         )
+
+    def _uniform_shape(self):
+        rows, cols = self.layout.split(":", 1)[1].split("x")
+        return int(rows), int(cols)
 
     @property
     def n_patches(self) -> int:
+        if self.layout.startswith("uniform"):
+            r, c = self._uniform_shape()
+            return r * c
         return num_patches(self.nrows)
+
+    def centers_deg(self) -> np.ndarray:
+        """Patch centers in degrees (theta in (0,360), phi in (-90,90))."""
+        from omnifusion_tpu.geometry.layout import patch_centers
+
+        if self.layout.startswith("uniform"):
+            return uniform_patch_centers(*self._uniform_shape())
+        return patch_centers(self.nrows)
+
+    def centers_radians(self) -> np.ndarray:
+        c = self.centers_deg()
+        out = np.empty_like(c)
+        out[:, 0] = (c[:, 0] / 180.0 - 1.0) * np.pi
+        out[:, 1] = c[:, 1] / 90.0 * (np.pi / 2.0)
+        return out
+
+    def centers_normalized(self) -> np.ndarray:
+        c = self.centers_deg()
+        out = np.empty_like(c)
+        out[:, 0] = c[:, 0] / 180.0 - 1.0
+        out[:, 1] = c[:, 1] / 90.0
+        return out
 
     def with_patch_scale(self, denom: int) -> "ProjectionSpec":
         """Same spec at a reduced patch resolution (e.g. /4 for geometry feats)."""
@@ -126,7 +160,7 @@ def _forward_angles(spec: ProjectionSpec):
     sy = np.linspace(0.0, 1.0, h)
     x = gnomonic.screen_to_tangent(sx, spec.fov_w, 360.0)[None, None, :]  # (1,1,w)
     y = gnomonic.screen_to_tangent(sy, spec.fov_h, 180.0)[None, :, None]  # (1,h,1)
-    centers = patch_centers_radians(spec.nrows)  # (P, 2)
+    centers = spec.centers_radians()  # (P, 2)
     theta_c = centers[:, 0][:, None, None]
     phi_c = centers[:, 1][:, None, None]
     lon, lat = gnomonic.forward(
@@ -190,7 +224,7 @@ def build_equi2pers_grids(spec: ProjectionSpec) -> Equi2PersGrids:
         [cos_lat * np.sin(lon), cos_lat * np.cos(lon), np.sin(lat)], axis=-1
     )
     uv = np.stack([lon_n, lat_n], axis=-1)
-    centers = patch_centers_normalized(spec.nrows)
+    centers = spec.centers_normalized()
 
     # NOTE: tables are kept as host numpy arrays — they become baked-in
     # constants at trace time.  (Creating jnp arrays here would leak tracers
@@ -213,7 +247,7 @@ def build_pers2equi_grids(spec: ProjectionSpec) -> Pers2EquiGrids:
 
     lat = np.linspace(-np.pi / 2.0, np.pi / 2.0, erp_h)[None, :, None]
     lon = np.linspace(-np.pi, np.pi, erp_w)[None, None, :]
-    centers = patch_centers_radians(spec.nrows)
+    centers = spec.centers_radians()
     theta_c = centers[:, 0][:, None, None]
     phi_c = centers[:, 1][:, None, None]
 

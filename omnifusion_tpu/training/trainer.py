@@ -47,10 +47,33 @@ def make_optimizer(
     t_0: int = 5,
     t_mult: int = 2,
     steps_per_epoch: int = 1,
+    caffe_bias_rules: bool = False,
 ) -> optax.GradientTransformation:
-    """AdamW + per-epoch cosine warm restarts (train_erp_depth.py:156-162)."""
+    """AdamW + per-epoch cosine warm restarts (train_erp_depth.py:156-162).
+
+    caffe_bias_rules reproduces util.py:147-155 (set_caffe_param_mult):
+    bias parameters get 2x the learning rate and zero weight decay.
+    """
     schedule = cosine_warm_restarts(lr, t_0, t_mult, steps_per_epoch=steps_per_epoch)
-    return optax.adamw(schedule, weight_decay=weight_decay)
+    if not caffe_bias_rules:
+        return optax.adamw(schedule, weight_decay=weight_decay)
+
+    def is_bias(path, _):
+        return "bias" in (path[-1].key if hasattr(path[-1], "key") else str(path[-1]))
+
+    def label_fn(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda p, v: "bias" if is_bias(p, v) else "other", params
+        )
+
+    double = cosine_warm_restarts(2 * lr, t_0, t_mult, steps_per_epoch=steps_per_epoch)
+    return optax.multi_transform(
+        {
+            "bias": optax.adamw(double, weight_decay=0.0),
+            "other": optax.adamw(schedule, weight_decay=weight_decay),
+        },
+        label_fn,
+    )
 
 
 def create_train_state(model, rng, sample_rgb, tx) -> TrainState:
