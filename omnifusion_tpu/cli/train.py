@@ -111,21 +111,22 @@ def run_training(args) -> dict:
         profile_dir = getattr(args, "profile_dir", None)
         for epoch in range(args.epochs):
             t0 = time.time()
-            losses = []
+            pending = []  # device-side metrics; sync to host only periodically
             for it, batch in enumerate(train_loader):
                 if profile_dir and epoch == 0 and it == 10:
                     jax.profiler.start_trace(profile_dir)
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 state, metrics = train_step(state, batch)
-                losses.append(float(metrics["loss"]))
+                pending.append(metrics["loss"])
                 throughput.update(args.batch)
                 if profile_dir and epoch == 0 and it == 14:
                     jax.profiler.stop_trace()
                     print(f"## wrote profiler trace to {profile_dir}")
                 if writer and it % args.visualize_interval == 0:
                     step = int(state.step)
-                    writer.add_scalar("train/loss", losses[-1], step)
+                    writer.add_scalar("train/loss", float(metrics["loss"]), step)
                     writer.add_scalar("train/grad_norm", float(metrics["grad_norm"]), step)
+            losses = [float(x) for x in pending]
             mean_loss = float(np.mean(losses)) if losses else float("nan")
             history["train_loss"].append(mean_loss)
             print(

@@ -59,6 +59,24 @@ class DataLoader:
             return {"rgb": cols[0], "labels": cols[1]}
         raise ValueError(f"unexpected sample arity {len(cols)}")
 
+    def prefetch_to_device(self, size: int = 2) -> Iterator[dict]:
+        """Iterate device-resident batches, overlapping H2D copies with
+        compute (the torch loader's pin_memory+workers role on TPU)."""
+        import collections
+
+        import jax
+
+        queue: collections.deque = collections.deque()
+        it = iter(self)
+        try:
+            while True:
+                while len(queue) < size:
+                    queue.append(jax.device_put(next(it)))
+                yield queue.popleft()
+        except StopIteration:
+            while queue:
+                yield queue.popleft()
+
     def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
         self._epoch += 1
         batches = list(self._batch_indices())

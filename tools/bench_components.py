@@ -1,0 +1,89 @@
+"""Per-component benchmark with honest axon-runtime timing.
+
+Measures trunk / equi2pers / merge / full forward at configurable batch,
+forcing real execution by materializing device-computed scalars (see
+PERF_NOTES.md for why block_until_ready alone is insufficient).
+
+    python tools/bench_components.py --batch 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--erp_size", default="512,1024")
+    ap.add_argument("--patchsize", type=int, default=128)
+    ap.add_argument("--reps", type=int, default=4)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from omnifusion_tpu.models import SphericalFusion
+    from omnifusion_tpu.models.spherical_fusion import DepthTrunk, confidence_merge
+    from omnifusion_tpu.projection import (
+        ProjectionSpec,
+        build_equi2pers_grids,
+        build_pers2equi_grids,
+        equi2pers,
+    )
+
+    h, w = (int(x) for x in args.erp_size.split(","))
+    B = args.batch
+    spec = ProjectionSpec.create((h, w), (args.patchsize, args.patchsize), (80, 80), 4)
+    g_hr = build_equi2pers_grids(spec)
+    p2e = build_pers2equi_grids(spec)
+    P = spec.n_patches
+    ph = spec.patch_h
+
+    def bench(name, shape, body):
+        @jax.jit
+        def run(seed):
+            x = jnp.full(shape, 0.5, jnp.float32) * seed
+            def step(s, _):
+                v = body(s)
+                return s * (1.0 + 1e-12 * v), v
+            _, vals = jax.lax.scan(step, x, None, length=args.reps)
+            return vals.sum()
+        float(run(jnp.float32(1.0)))
+        t0 = time.perf_counter()
+        float(run(jnp.float32(1.001)))
+        dt = (time.perf_counter() - t0) / args.reps
+        print(f"{name:36s} {dt*1000:8.2f} ms/batch{B}  ({B/dt:8.1f} panos/s)")
+
+    bench("equi2pers full-res", (B, h, w, 3), lambda x: equi2pers(x, g_hr).sum())
+    bench(
+        "merge (confidence)",
+        (B, P, ph, ph, 1),
+        lambda x: confidence_merge(x, x * 0.5 + 0.2, p2e).sum(),
+    )
+
+    trunk = DepthTrunk()
+    pz = jnp.zeros((1, P, ph, ph, 3))
+    pf = jnp.zeros((1, P, ph // 4, ph // 4, 64))
+    tv = jax.jit(lambda: trunk.init(jax.random.PRNGKey(0), pz, pf))()
+    bench(
+        "trunk",
+        (B, P, ph, ph, 3),
+        lambda x: sum(o.sum() for o in trunk.apply(tv, x, pf, train=False)),
+    )
+
+    model = SphericalFusion(spec=spec)
+    rgb1 = jnp.zeros((1, h, w, 3))
+    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), rgb1))()
+    bench(
+        "FULL forward",
+        (B, h, w, 3),
+        lambda x: model.apply(variables, x, train=False).sum(),
+    )
+
+
+if __name__ == "__main__":
+    main()
