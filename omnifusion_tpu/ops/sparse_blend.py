@@ -41,7 +41,14 @@ def quad_gather_blend(
     b, n_in, c = src_flat.shape
     n_out, k = idx.shape
     # channels ride in the batch dim: minor dims stay tiny and fusable
-    s = src_flat.transpose(0, 2, 1).reshape(b * c, n_in)
+    d = b * c
+    s = src_flat.transpose(0, 2, 1).reshape(d, n_in)
+    # XLA's TPU gather switches to a vectorized fast path once the leading
+    # (batched) dim reaches 64 (~10x faster per element, flat cost in the
+    # leading dim — PERF_NOTES.md); pad small batches up to it
+    d_pad = 64 if 0 < d < 64 else d
+    if d_pad != d:
+        s = jnp.concatenate([s, jnp.zeros((d_pad - d, n_in), s.dtype)], axis=0)
     packed = jnp.stack(
         [
             s,
@@ -50,10 +57,10 @@ def quad_gather_blend(
             jnp.roll(s, -(row_stride + 1), axis=1),
         ],
         axis=-1,
-    )  # (B*C, N_in, 4)
-    g = jnp.take(packed, idx.reshape(-1), axis=1).reshape(b * c, n_out, k, 4)
+    )  # (D, N_in, 4)
+    g = jnp.take(packed, idx.reshape(-1), axis=1).reshape(d_pad, n_out, k, 4)
     out = jnp.einsum("dnkq,nkq->dn", g, w4.astype(src_flat.dtype))
-    return out.reshape(b, c, n_out).transpose(0, 2, 1)
+    return out[:d].reshape(b, c, n_out).transpose(0, 2, 1)
 
 
 def gather_blend(src_flat: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
