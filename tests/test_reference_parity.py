@@ -1,0 +1,157 @@
+"""END-TO-END parity: our model vs the ACTUAL upstream network.
+
+Exports our randomly-initialized flax variables to a torch state dict,
+loads them into the upstream spherical_fusion (imported from
+/root/reference with stubbed timm/mmseg/torchvision — see
+reference_stubs.py), and compares full forward passes on the same input.
+Skipped when the reference checkout is absent.
+"""
+
+import os
+import sys
+import tempfile
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+REFERENCE = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE), reason="reference checkout not available"
+)
+
+ERP = (256, 512)
+PATCH = (128, 128)
+
+
+@pytest.fixture(scope="module")
+def reference_models():
+    torch = pytest.importorskip("torch")
+    from tests.reference_stubs import install_stubs
+
+    install_stubs()
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    import model.spherical_model as ref_oneshot  # noqa: F401
+    import model.spherical_model_iterative as ref_iter  # noqa: F401
+
+    return ref_oneshot, ref_iter
+
+
+def test_oneshot_forward_matches_reference(reference_models):
+    import torch
+
+    ref_oneshot, _ = reference_models
+    from omnifusion_tpu.models import SphericalFusion
+    from omnifusion_tpu.models.torch_export import export_oneshot_checkpoint
+    from omnifusion_tpu.projection import ProjectionSpec
+
+    spec = ProjectionSpec.create(ERP, PATCH, (80, 80), 4)
+    model = SphericalFusion(spec=spec)
+    rgb = np.random.default_rng(0).random((1, *ERP, 3), dtype=np.float32)
+    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(7), jnp.asarray(rgb)))()
+    ours = np.asarray(model.apply(variables, jnp.asarray(rgb), train=False))
+
+    sd = export_oneshot_checkpoint(variables)
+    net = ref_oneshot.spherical_fusion(
+        nrows=4, npatches=18, patch_size=PATCH, fov=(80, 80)
+    )
+    missing, unexpected = net.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=True,
+    )
+    assert not missing and not unexpected
+    net.eval()
+
+    cwd = os.getcwd()
+    with tempfile.TemporaryDirectory() as td:
+        os.chdir(td)  # the reference caches pers2equi grids to ./grid
+        try:
+            with torch.no_grad():
+                theirs = net(torch.from_numpy(rgb.transpose(0, 3, 1, 2)))
+        finally:
+            os.chdir(cwd)
+    theirs = theirs.numpy().transpose(0, 2, 3, 1)
+
+    assert ours.shape == theirs.shape
+    denom = np.maximum(np.abs(theirs), 1e-3)
+    rel = np.abs(ours - theirs) / denom
+    # BASELINE.json parity budget is 1e-3 (abs_rel); require it at the pixel
+    # level.  A handful of pixels sit exactly on the reference's 1e-5 blend
+    # threshold where its float32 grid build and our float64 build disagree,
+    # and the /(weight + 1e-8) confidence merge amplifies them — so bound the
+    # outlier FRACTION rather than the mean.
+    assert np.median(rel) < 1e-3, np.median(rel)
+    assert np.quantile(rel, 0.999) < 0.05, np.quantile(rel, 0.999)
+    assert (rel > 0.05).mean() < 1e-4, (rel > 0.05).mean()
+
+
+def test_iterative_forward_matches_reference(reference_models):
+    import torch
+
+    _, ref_iter = reference_models
+    from omnifusion_tpu.models import SphericalFusionIterative
+    from omnifusion_tpu.models.torch_export import export_iterative_checkpoint
+    from omnifusion_tpu.projection import ProjectionSpec
+
+    spec = ProjectionSpec.create(ERP, PATCH, (80, 80), 4)
+    model = SphericalFusionIterative(spec=spec, num_iters=2)
+    rgb = np.random.default_rng(1).random((1, *ERP, 3), dtype=np.float32)
+    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(3), jnp.asarray(rgb)))()
+    ours = model.apply(variables, jnp.asarray(rgb), train=False)
+
+    sd = export_iterative_checkpoint(variables)
+    net = ref_iter.spherical_fusion(nrows=4, npatches=18, patch_size=PATCH, fov=(80, 80))
+    missing, unexpected = net.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=True,
+    )
+    assert not missing and not unexpected
+    net.eval()
+
+    cwd = os.getcwd()
+    with tempfile.TemporaryDirectory() as td:
+        os.chdir(td)
+        try:
+            with torch.no_grad():
+                theirs = net(torch.from_numpy(rgb.transpose(0, 3, 1, 2)), iter=2)
+        finally:
+            os.chdir(cwd)
+
+    assert len(ours) == len(theirs) == 2
+    for i, (o, t) in enumerate(zip(ours, theirs)):
+        t = t.numpy().transpose(0, 2, 3, 1)
+        rel = np.abs(np.asarray(o) - t) / np.maximum(np.abs(t), 1e-3)
+        assert np.median(rel) < 1e-3, (i, np.median(rel))
+        assert np.mean(rel) < 5e-3, (i, np.mean(rel))
+
+
+def test_export_import_roundtrip():
+    """Exported torch dicts re-import to identical variables (no reference
+    needed; runs everywhere)."""
+    from omnifusion_tpu.models import SphericalFusion
+    from omnifusion_tpu.models.torch_export import export_oneshot_checkpoint
+    from omnifusion_tpu.models.torch_import import import_oneshot_checkpoint
+    from omnifusion_tpu.projection import ProjectionSpec
+
+    spec = ProjectionSpec.create((64, 128), (128, 128), (80, 80), 4)
+    model = SphericalFusion(spec=spec)
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 128, 3)))
+    )
+    variables = jax.tree_util.tree_map(
+        lambda s: jnp.asarray(
+            np.random.default_rng(abs(hash(s.shape)) % 2**31).standard_normal(s.shape),
+            s.dtype,
+        ),
+        variables,
+    )
+    sd = export_oneshot_checkpoint(variables)
+    back = import_oneshot_checkpoint(sd)
+    for col in ("params", "batch_stats"):
+        a = jax.tree_util.tree_leaves(variables[col])
+        b = jax.tree_util.tree_leaves(back[col])
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
