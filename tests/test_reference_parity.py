@@ -155,3 +155,75 @@ def test_export_import_roundtrip():
         assert len(a) == len(b)
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_gradients_match_reference(reference_models):
+    """Backward-pass parity: gradients of an MSE loss through the full model
+    (eval-mode BN) match the upstream network's autograd."""
+    import tempfile
+
+    import torch
+
+    ref_oneshot, _ = reference_models
+    from omnifusion_tpu.models import SphericalFusion
+    from omnifusion_tpu.models.torch_export import export_oneshot_checkpoint
+    from omnifusion_tpu.projection import ProjectionSpec
+
+    spec = ProjectionSpec.create((128, 256), (128, 128), (80, 80), 4)
+    model = SphericalFusion(spec=spec)
+    rng = np.random.default_rng(0)
+    rgb = rng.random((1, 128, 256, 3), dtype=np.float32)
+    tgt = (rng.random((1, 128, 256, 1)) * 4 + 1).astype(np.float32)
+    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(7), jnp.asarray(rgb)))()
+
+    def loss_fn(params):
+        out = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            jnp.asarray(rgb),
+            train=False,
+        )
+        return jnp.mean(jnp.square(out - jnp.asarray(tgt)))
+
+    grads = jax.grad(loss_fn)(variables["params"])
+
+    sd = export_oneshot_checkpoint(variables)
+    net = ref_oneshot.spherical_fusion(nrows=4, npatches=18, patch_size=(128, 128), fov=(80, 80))
+    net.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}, strict=True
+    )
+    net.eval()
+    cwd = os.getcwd()
+    with tempfile.TemporaryDirectory() as td:
+        os.chdir(td)
+        try:
+            out = net(torch.from_numpy(rgb.transpose(0, 3, 1, 2)))
+            t_loss = ((out - torch.from_numpy(tgt.transpose(0, 3, 1, 2))) ** 2).mean()
+            t_loss.backward()
+        finally:
+            os.chdir(cwd)
+
+    checks = [
+        (
+            np.asarray(grads["trunk"]["encoder"]["conv1"]["kernel"]).transpose(3, 2, 0, 1),
+            net.conv1.weight.grad.numpy()[..., 0],
+        ),
+        (
+            np.asarray(grads["trunk"]["pred"]["kernel"]).transpose(3, 2, 0, 1),
+            net.pred.weight.grad.numpy()[..., 0],
+        ),
+        (
+            np.asarray(grads["trunk"]["transformer"]["pos_emb"]),
+            net.transformer.pos_emb.grad.numpy(),
+        ),
+        (
+            np.asarray(grads["trunk"]["transformer"]["layer_3"]["attn"]["q"]["kernel"]).T,
+            net.transformer.layer[3].attn.q.weight.grad.numpy(),
+        ),
+        (
+            np.asarray(grads["mlp_points"]["conv1"]["kernel"]).transpose(3, 2, 0, 1),
+            net.mlp_points[0].weight.grad.numpy(),
+        ),
+    ]
+    for i, (a, b) in enumerate(checks):
+        rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-12)
+        assert rel < 1e-2, (i, rel)
