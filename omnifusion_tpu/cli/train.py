@@ -85,7 +85,7 @@ def run_training(args) -> dict:
     print(f"## model: {args.model}  params: {n_params/1e6:.1f}M  patches: {spec.n_patches}")
     print(f"## patch size: {(spec.patch_h, spec.patch_w)}  fov: {args.fov}  nrows: {args.nrows}")
 
-    train_step = make_train_step(model, confidence=confidence, iterative=iterative, donate=False)
+    train_step = make_train_step(model, confidence=confidence, iterative=iterative)
     eval_step = make_eval_step(model, confidence=confidence)
 
     writer = None
@@ -112,10 +112,9 @@ def run_training(args) -> dict:
         for epoch in range(args.epochs):
             t0 = time.time()
             pending = []  # device-side metrics; sync to host only periodically
-            for it, batch in enumerate(train_loader):
+            for it, batch in enumerate(train_loader.prefetch_to_device()):
                 if profile_dir and epoch == 0 and it == 10:
                     jax.profiler.start_trace(profile_dir)
-                batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 state, metrics = train_step(state, batch)
                 pending.append(metrics["loss"])
                 throughput.update(args.batch)
@@ -138,8 +137,7 @@ def run_training(args) -> dict:
             if (epoch + 1) % args.val_interval == 0 or epoch == args.epochs - 1:
                 acc = MetricAccumulator()
                 first_vis = writer is not None
-                for batch in val_loader:
-                    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                for batch in val_loader.prefetch_to_device():
                     m, n, pred = eval_step(state.params, state.batch_stats, batch)
                     acc.update({k: float(v) for k, v in m.items()}, float(n))
                     if first_vis:
