@@ -50,7 +50,10 @@ def add_common_args(parser: argparse.ArgumentParser, train: bool):
     parser.add_argument("--patchsize", type=pair_arg, default=(128, 128))
     parser.add_argument("--fov", type=float, default=80.0)
     parser.add_argument("--nrows", type=int, default=4, choices=[3, 4, 5, 6])
-    parser.add_argument("--erp_size", type=pair_arg, default=(512, 1024))
+    parser.add_argument(
+        "--erp_size", type=pair_arg, default=None,
+        help="ERP resolution (default 512,1024; 256,512 for --dataset 360d)",
+    )
     parser.add_argument("--iter", dest="iters", type=int, default=2)
     parser.add_argument("--confidence", action="store_true")
     parser.add_argument("--model", default="oneshot", choices=["oneshot", "iterative"])
@@ -85,8 +88,16 @@ def add_common_args(parser: argparse.ArgumentParser, train: bool):
     return parser
 
 
+def resolve_erp_size(args):
+    if args.erp_size is None:
+        args.erp_size = (256, 512) if args.dataset == "360d" else (512, 1024)
+    return args.erp_size
+
+
 def build_model(args):
     import jax.numpy as jnp
+
+    resolve_erp_size(args)
 
     from omnifusion_tpu.models import SphericalFusion, SphericalFusionIterative
     from omnifusion_tpu.projection import ProjectionSpec
@@ -108,6 +119,8 @@ def build_model(args):
 
 def build_dataset(args, split_file: str, train: bool):
     from omnifusion_tpu.data import make_dataset
+
+    resolve_erp_size(args)
 
     if args.dataset == "synthetic":
         return make_dataset(

@@ -30,6 +30,9 @@ def run_training_sem(args) -> dict:
     from omnifusion_tpu.training import CheckpointManager, create_train_state, make_optimizer
     from omnifusion_tpu.utils import evaluate_iou
 
+    from omnifusion_tpu.cli.common import resolve_erp_size
+
+    resolve_erp_size(args)
     spec = ProjectionSpec.create(
         args.erp_size, args.patchsize, (args.fov, args.fov), args.nrows
     )
