@@ -103,11 +103,16 @@ class PanoDepthDataset:
         permute_color: bool = False,
         gamma: bool = False,
         seed: Optional[int] = None,
+        shard: Optional[tuple[int, int]] = None,
     ):
         self.root_path = root_path
         self.image_list = np.loadtxt(path_to_img_list, dtype=str)
         if self.image_list.ndim == 1:
             self.image_list = self.image_list[None, :]
+        if shard is not None:
+            # per-host slice for multi-host training (docs/SCALING.md)
+            host, count = shard
+            self.image_list = self.image_list[host::count]
         self.rotate = rotate
         self.flip = flip
         self.permute_color = permute_color

@@ -75,6 +75,7 @@ class DepthTrunk(nn.Module):
     pred_channels: int = 1
     pred_activation: str = "relu"  # 'relu' for depth, 'none' for seg logits
     use_transformer: bool = True  # False = legacy variant (network_360d.py:330-335)
+    remat: bool = False  # rematerialize the encoder to trade FLOPs for HBM
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
@@ -92,9 +93,11 @@ class DepthTrunk(nn.Module):
         pf = jnp.broadcast_to(
             point_feat, (b, p) + point_feat.shape[2:]
         ).reshape(b * p, *point_feat.shape[2:])
-        feats = ResNet34Encoder(name="encoder", **kw)(
-            x, train=train, extra_layer1_features=pf.astype(x.dtype)
+        encoder_cls = (
+            nn.remat(ResNet34Encoder, static_argnums=(2,)) if self.remat
+            else ResNet34Encoder
         )
+        feats = encoder_cls(name="encoder", **kw)(x, train, pf.astype(x.dtype))
         conv1, l1, l2, l3, l4 = (
             feats["conv1"],
             feats["layer1"],

@@ -89,7 +89,7 @@ def create_train_state(model, rng, sample_rgb, tx) -> TrainState:
     )
 
 
-def _forward_loss(model, params, batch_stats, batch, confidence, iterative):
+def _forward_loss(model, params, batch_stats, batch, confidence):
     out, mutated = model.apply(
         {"params": params, "batch_stats": batch_stats},
         batch["rgb"],
@@ -106,19 +106,20 @@ def _forward_loss(model, params, batch_stats, batch, confidence, iterative):
 def make_train_step(
     model,
     confidence: bool = True,
-    iterative: bool = False,
-    donate: bool = True,
+    iterative: bool = False,  # kept for call-site clarity; the loss handles
+    donate: bool = True,      # single and multi-prediction models uniformly
 ) -> Callable:
     """Returns jitted step: (state, batch) -> (state, metrics dict).
 
-    batch: {'rgb': (B,H,W,3), 'depth': (B,H,W,1), 'mask': (B,H,W,1)}.
+    batch: {'rgb': (B,H,W,3), 'depth': (B,H,W,1), 'mask': (B,H,W,1)};
+    iterative models return a list of predictions and the loss averages
+    BerHu over iterations (train_erp_depth_iterative.py:268-279).
     """
+    del iterative
 
     def step(state: TrainState, batch):
         (loss, (new_stats, pred)), grads = jax.value_and_grad(
-            lambda p: _forward_loss(
-                model, p, state.batch_stats, batch, confidence, iterative
-            ),
+            lambda p: _forward_loss(model, p, state.batch_stats, batch, confidence),
             has_aux=True,
         )(state.params)
         state = state.apply_gradients(grads, new_stats)
