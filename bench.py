@@ -24,7 +24,35 @@ BATCH = 64  # the TPU gather fast path needs a wide batch*channel dim
 ITERS = 4
 
 
+def _timeout_guard():
+    """The TPU tunnel in this environment occasionally goes down hard (jit
+    dispatch hangs forever).  Emit an honest failure line instead of hanging."""
+    import os
+    import threading
+
+    def expire():
+        # a thread (not SIGALRM): the hang sits inside a blocking C call that
+        # never returns to the interpreter, so signal handlers don't run
+        print(
+            json.dumps(
+                {
+                    "metric": "panoramas/sec/chip (512x1024 ERP, fov 80, nrows 4, one-shot) — TPU UNREACHABLE, benchmark timed out",
+                    "value": 0.0,
+                    "unit": "panoramas/sec",
+                    "vs_baseline": 0.0,
+                }
+            ),
+            flush=True,
+        )
+        os._exit(2)
+
+    timer = threading.Timer(float(os.environ.get("BENCH_TIMEOUT_SECS", "540")), expire)
+    timer.daemon = True
+    timer.start()
+
+
 def main():
+    _timeout_guard()
     import jax
     import jax.numpy as jnp
     from omnifusion_tpu.models import SphericalFusion

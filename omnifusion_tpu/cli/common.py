@@ -62,6 +62,7 @@ def add_common_args(parser: argparse.ArgumentParser, train: bool):
     parser.add_argument("--save_path", default="./results/run")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    parser.add_argument("--remat", action="store_true", help="rematerialize the encoder (saves HBM)")
     parser.add_argument(
         "--no_transformer",
         action="store_true",
@@ -106,15 +107,15 @@ def build_model(args):
         args.erp_size, args.patchsize, (args.fov, args.fov), args.nrows
     )
     dtype = jnp.bfloat16 if args.bf16 else None
-    use_tf = not getattr(args, "no_transformer", False)
+    kw = dict(
+        spec=spec,
+        dtype=dtype,
+        use_transformer=not getattr(args, "no_transformer", False),
+        remat=getattr(args, "remat", False),
+    )
     if args.model == "iterative":
-        return (
-            SphericalFusionIterative(
-                spec=spec, num_iters=args.iters, dtype=dtype, use_transformer=use_tf
-            ),
-            spec,
-        )
-    return SphericalFusion(spec=spec, dtype=dtype, use_transformer=use_tf), spec
+        return SphericalFusionIterative(num_iters=args.iters, **kw), spec
+    return SphericalFusion(**kw), spec
 
 
 def build_dataset(args, split_file: str, train: bool):

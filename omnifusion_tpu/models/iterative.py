@@ -40,6 +40,7 @@ class SphericalFusionIterative(nn.Module):
     depth: int = 6
     num_heads: int = 4
     use_transformer: bool = True
+    remat: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
@@ -56,6 +57,7 @@ class SphericalFusionIterative(nn.Module):
             depth=self.depth,
             num_heads=self.num_heads,
             use_transformer=self.use_transformer,
+            remat=self.remat,
             axis_name=self.axis_name,
             dtype=self.dtype,
             name="trunk",

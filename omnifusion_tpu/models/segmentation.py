@@ -33,6 +33,7 @@ class SphericalFusionSeg(nn.Module):
     depth: int = 6
     num_heads: int = 4
     use_transformer: bool = True
+    remat: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
@@ -60,6 +61,7 @@ class SphericalFusionSeg(nn.Module):
             pred_channels=self.num_classes,
             pred_activation="none",
             use_transformer=self.use_transformer,
+            remat=self.remat,
             axis_name=self.axis_name,
             dtype=self.dtype,
             name="trunk",

@@ -185,6 +185,7 @@ class SphericalFusion(nn.Module):
     depth: int = 6
     num_heads: int = 4
     use_transformer: bool = True
+    remat: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
@@ -217,6 +218,7 @@ class SphericalFusion(nn.Module):
             depth=self.depth,
             num_heads=self.num_heads,
             use_transformer=self.use_transformer,
+            remat=self.remat,
             axis_name=self.axis_name,
             dtype=self.dtype,
             name="trunk",
