@@ -48,27 +48,43 @@ def make_optimizer(
     t_mult: int = 2,
     steps_per_epoch: int = 1,
     caffe_bias_rules: bool = False,
+    frozen_prefixes: tuple = (),
 ) -> optax.GradientTransformation:
     """AdamW + per-epoch cosine warm restarts (train_erp_depth.py:156-162).
 
     caffe_bias_rules reproduces util.py:147-155 (set_caffe_param_mult):
     bias parameters get 2x the learning rate and zero weight decay.
+    frozen_prefixes reproduces util.py:124-130 (freeze_layer): parameters
+    whose path starts with any given '/'-joined prefix receive no updates
+    (e.g. ("trunk/encoder",) freezes the pretrained backbone).
     """
+
+    def path_str(path):
+        return "/".join(p.key if hasattr(p, "key") else str(p) for p in path)
+
     schedule = cosine_warm_restarts(lr, t_0, t_mult, steps_per_epoch=steps_per_epoch)
-    if not caffe_bias_rules:
+    labels_needed = caffe_bias_rules or frozen_prefixes
+
+    if not labels_needed:
         return optax.adamw(schedule, weight_decay=weight_decay)
 
-    def is_bias(path, _):
-        return "bias" in (path[-1].key if hasattr(path[-1], "key") else str(path[-1]))
+    def label_of(path, _):
+        p = path_str(path)
+        if any(p.startswith(pre) for pre in frozen_prefixes):
+            return "frozen"
+        if caffe_bias_rules and "bias" in (
+            path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        ):
+            return "bias"
+        return "other"
 
     def label_fn(params):
-        return jax.tree_util.tree_map_with_path(
-            lambda p, v: "bias" if is_bias(p, v) else "other", params
-        )
+        return jax.tree_util.tree_map_with_path(label_of, params)
 
     double = cosine_warm_restarts(2 * lr, t_0, t_mult, steps_per_epoch=steps_per_epoch)
     return optax.multi_transform(
         {
+            "frozen": optax.set_to_zero(),
             "bias": optax.adamw(double, weight_decay=0.0),
             "other": optax.adamw(schedule, weight_decay=weight_decay),
         },

@@ -51,3 +51,13 @@ def test_no_transformer_variant():
     out = model.apply(variables, rgb, train=False)
     assert out.shape == (1, 64, 128, 1)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_frozen_prefixes():
+    tx = make_optimizer(lr=1e-2, frozen_prefixes=("enc",))
+    params = {"enc": {"kernel": jnp.ones((2,))}, "head": {"kernel": jnp.ones((2,))}}
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    np.testing.assert_array_equal(np.asarray(updates["enc"]["kernel"]), 0.0)
+    assert float(jnp.abs(updates["head"]["kernel"]).sum()) > 0
