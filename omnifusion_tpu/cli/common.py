@@ -20,7 +20,8 @@ def apply_runtime_env():
     plat = os.environ.get("JAX_PLATFORMS")
     if plat:
         jax.config.update("jax_platforms", plat)
-    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/omnifusion_jax_cache")
+    default_cache = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", default_cache)
     try:
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

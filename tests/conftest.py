@@ -6,6 +6,7 @@ exercised; real-TPU benchmarking happens in bench.py only.
 """
 
 import os
+import pathlib
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
@@ -23,10 +24,10 @@ assert jax.default_backend() == "cpu", jax.default_backend()
 assert jax.device_count() == 8, jax.device_count()
 
 # persistent compilation cache: repeated suite runs skip XLA recompiles
-jax.config.update("jax_compilation_cache_dir", "/tmp/omnifusion_jax_cache")
+# (kept inside the repo so it survives environment resets)
+_cache = str(pathlib.Path(__file__).parent.parent / ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-import pathlib  # noqa: E402
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
