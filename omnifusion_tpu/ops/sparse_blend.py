@@ -13,6 +13,7 @@ kernel can be slotted in behind the same interface.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -75,7 +76,82 @@ def gather_blend(src_flat: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray) -> jnp
     Returns:
       (B, N_out, C) = sum_k w[n, k] * src_flat[:, idx[n, k], :].
     """
+    b, n_in, c = src_flat.shape
     n_out, k = idx.shape
-    g = jnp.take(src_flat, idx.reshape(-1), axis=1)
-    g = g.reshape(src_flat.shape[0], n_out, k, src_flat.shape[-1])
-    return jnp.einsum("bnkc,nk->bnc", g, w.astype(src_flat.dtype))
+    d = b * c
+    s = src_flat.transpose(0, 2, 1).reshape(d, n_in)
+    d_pad = 64 if 0 < d < 64 else d  # TPU gather fast path (PERF_NOTES.md)
+    if d_pad != d:
+        s = jnp.concatenate([s, jnp.zeros((d_pad - d, n_in), s.dtype)], axis=0)
+    g = jnp.take(s, idx.reshape(-1), axis=1).reshape(d_pad, n_out, k)
+    out = jnp.einsum("dnk,nk->dn", g, w.astype(src_flat.dtype))
+    return out[:d].reshape(b, c, n_out).transpose(0, 2, 1)
+
+
+def transposed_gather_blend(
+    cot: jnp.ndarray,
+    idx_t: jnp.ndarray,
+    w_t: jnp.ndarray,
+    over_src: jnp.ndarray,
+    over_dst: jnp.ndarray,
+    over_w: jnp.ndarray,
+    n_in: int,
+) -> jnp.ndarray:
+    """Apply W^T to a cotangent: the backward of a static sparse blend.
+
+    The transpose of a static sparse map is another static sparse map, so the
+    backward pass is a (fast-path) GATHER with precomputed transposed tables
+    instead of autodiff's slow scatter-add.  Fan-in per input pixel is capped
+    in ``idx_t``/``w_t``; the heavy tail (border pixels of pole patches that
+    absorb clamp-folded weights, fan-in up to ~2000) lives in a sorted COO
+    overflow handled by one gather + segment_sum.
+
+    Args:
+      cot: (B, N_out, C) cotangent.
+      idx_t/w_t: (N_in, K_T) capped transposed table.
+      over_src: (M,) int32 indices into N_out (sorted by over_dst).
+      over_dst: (M,) int32 indices into N_in.
+      over_w: (M,) weights (0 = padding).
+
+    Returns:
+      (B, N_in, C) cotangent for the source.
+    """
+    out = gather_blend(cot, idx_t, w_t)
+    if over_src.shape[0] == 0:
+        return out
+    b, _, c = cot.shape
+    d = b * c
+    g = cot.transpose(0, 2, 1).reshape(d, -1)
+    d_pad = 64 if 0 < d < 64 else d
+    if d_pad != d:
+        g = jnp.concatenate([g, jnp.zeros((d_pad - d, g.shape[1]), g.dtype)], axis=0)
+    vals = jnp.take(g, over_src, axis=1) * over_w[None, :].astype(g.dtype)  # (D, M)
+    summed = jax.ops.segment_sum(
+        vals.T, over_dst, num_segments=n_in, indices_are_sorted=True
+    )  # (N_in, D)
+    return out + summed.T[:d].reshape(b, c, n_in).transpose(0, 2, 1)
+
+
+def quad_gather_blend_with_vjp(
+    src_flat, idx, w4, row_stride: int, vjp_tables
+) -> jnp.ndarray:
+    """quad_gather_blend with a custom backward using transposed tables."""
+    idx_t, w_t, over_src, over_dst, over_w = (jnp.asarray(t) for t in vjp_tables)
+    n_in = src_flat.shape[1]
+
+    @jax.custom_vjp
+    def op(src):
+        return quad_gather_blend(src, idx, w4, row_stride)
+
+    def fwd(src):
+        return quad_gather_blend(src, idx, w4, row_stride), None
+
+    def bwd(_, cot):
+        return (
+            transposed_gather_blend(
+                cot, idx_t, w_t, over_src, over_dst, over_w, n_in
+            ),
+        )
+
+    op.defvjp(fwd, bwd)
+    return op(src_flat)

@@ -17,7 +17,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from omnifusion_tpu.ops.sparse_blend import quad_gather_blend
+from omnifusion_tpu.ops.sparse_blend import quad_gather_blend_with_vjp
 from omnifusion_tpu.projection.spec import (
     Equi2PersGrids,
     Pers2EquiGrids,
@@ -45,7 +45,7 @@ def equi2pers(erp: jnp.ndarray, grids: Equi2PersGrids) -> jnp.ndarray:
     b, h, w, c = erp.shape
     assert (h, w) == (spec.erp_h, spec.erp_w), (erp.shape, spec)
     src = erp.reshape(b, h * w, c)
-    out = quad_gather_blend(src, grids.idx, grids.w4, row_stride=spec.erp_w)
+    out = quad_gather_blend_with_vjp(src, grids.idx, grids.w4, spec.erp_w, grids.vjp)
     return out.reshape(b, spec.n_patches, spec.patch_h, spec.patch_w, c)
 
 
@@ -69,7 +69,7 @@ def pers2equi(pers: jnp.ndarray, grids: Pers2EquiGrids) -> jnp.ndarray:
     b, p, h, w, c = pers.shape
     assert (p, h, w) == (spec.n_patches, spec.patch_h, spec.patch_w), (pers.shape, spec)
     src = pers.reshape(b, p * h * w, c)
-    out = quad_gather_blend(src, grids.idx, grids.w4, row_stride=spec.patch_w)
+    out = quad_gather_blend_with_vjp(src, grids.idx, grids.w4, spec.patch_w, grids.vjp)
     return out.reshape(b, spec.erp_h, spec.erp_w, c)
 
 

@@ -128,6 +128,7 @@ class Equi2PersGrids:
     xyz: jnp.ndarray  # (P, h, w, 3) unit-sphere coords per patch pixel
     uv: jnp.ndarray  # (P, h, w, 2) normalized (lon, lat) in [-1, 1]
     centers: jnp.ndarray  # (P, 2) normalized patch centers in [-1, 1]
+    vjp: tuple  # transposed tables for the custom backward (see build_vjp_tables)
     spec: ProjectionSpec = struct.field(pytree_node=False)
 
 
@@ -142,6 +143,7 @@ class Pers2EquiGrids:
 
     idx: jnp.ndarray  # (erp_h*erp_w, K) int32 into P*h*w
     w4: jnp.ndarray  # (erp_h*erp_w, K, 4) float32 [00, 01, 10, 11]
+    vjp: tuple  # transposed tables for the custom backward (see build_vjp_tables)
     spec: ProjectionSpec = struct.field(pytree_node=False)
 
 
@@ -192,6 +194,46 @@ def _fold_clamped_corners(w4: np.ndarray, x_clamped: np.ndarray, y_clamped: np.n
     return np.stack([w00, w01, w10, w11], axis=-1)
 
 
+def build_vjp_tables(idx: np.ndarray, w4: np.ndarray, row_stride: int, n_in: int, cap: int = 24):
+    """Transpose the quad-table sparse map for the custom backward.
+
+    Returns (idx_t (N_in, K) int32, w_t (N_in, K) f32, over_src (M,) i32,
+    over_dst (M,) i32, over_w (M,) f32): a fan-in-capped transposed table
+    plus a COO overflow (sorted by destination) for the heavy tail.
+    """
+    n_out, k = idx.shape
+    offs = np.array([0, 1, row_stride, row_stride + 1], np.int64)
+    j = (idx[:, :, None].astype(np.int64) + offs[None, None, :]).reshape(-1)
+    w = np.asarray(w4, np.float64).reshape(-1)
+    n = np.repeat(np.arange(n_out, dtype=np.int64), k * 4)
+    keep = w > 0
+    j, w, n = j[keep], w[keep], n[keep]
+    # wrapped entries always carry zero weight (clamp folding), so all kept
+    # entries are in range
+    order = np.argsort(j, kind="stable")
+    j, w, n = j[order], w[order], n[order]
+
+    counts = np.bincount(j, minlength=n_in)
+    k_t = int(min(counts.max(), cap)) if len(j) else 1
+    rank = np.arange(len(j)) - np.repeat(
+        np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+    )
+    in_table = rank < k_t
+    idx_t = np.zeros((n_in, max(k_t, 1)), np.int32)
+    w_t = np.zeros((n_in, max(k_t, 1)), np.float32)
+    idx_t[j[in_table], rank[in_table]] = n[in_table]
+    w_t[j[in_table], rank[in_table]] = w[in_table]
+
+    over = ~in_table
+    return (
+        idx_t,
+        w_t,
+        n[over].astype(np.int32),
+        j[over].astype(np.int32),
+        w[over].astype(np.float32),
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def build_equi2pers_grids(spec: ProjectionSpec) -> Equi2PersGrids:
     lon, lat = _forward_angles(spec)
@@ -229,12 +271,15 @@ def build_equi2pers_grids(spec: ProjectionSpec) -> Equi2PersGrids:
     # NOTE: tables are kept as host numpy arrays — they become baked-in
     # constants at trace time.  (Creating jnp arrays here would leak tracers
     # into the lru_cache when the first build happens under a transform.)
+    idx = np.asarray(idx, dtype=np.int32)
+    w4 = np.asarray(w4, dtype=np.float32)
     return Equi2PersGrids(
-        idx=np.asarray(idx, dtype=np.int32),
-        w4=np.asarray(w4, dtype=np.float32),
+        idx=idx,
+        w4=w4,
         xyz=np.asarray(xyz, dtype=np.float32),
         uv=np.asarray(uv, dtype=np.float32),
         centers=np.asarray(centers, dtype=np.float32),
+        vjp=build_vjp_tables(idx, w4, spec.erp_w, spec.erp_h * spec.erp_w),
         spec=spec,
     )
 
@@ -312,8 +357,11 @@ def build_pers2equi_grids(spec: ProjectionSpec) -> Pers2EquiGrids:
     w_k = w_px[rows, order]  # (N, K, 4)
     idx_k = np.where(totals[rows, order] > 0, base_px[rows, order], 0)
 
+    idx_k = np.asarray(idx_k, dtype=np.int32)
+    w_k = np.asarray(w_k, dtype=np.float32)
     return Pers2EquiGrids(
-        idx=np.asarray(idx_k, dtype=np.int32),
-        w4=np.asarray(w_k, dtype=np.float32),
+        idx=idx_k,
+        w4=w_k,
+        vjp=build_vjp_tables(idx_k, w_k, pw, P * ph * pw),
         spec=spec,
     )

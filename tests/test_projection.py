@@ -146,3 +146,58 @@ def test_gradients_flow_through_projections():
     g = jax.grad(loss)(img)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_custom_vjp_matches_autodiff():
+    """The transposed-table backward must equal autodiff's scatter backward."""
+    from omnifusion_tpu.ops.sparse_blend import quad_gather_blend
+
+    spec = _spec((64, 128), 16, 80, 4)
+    e_grids = build_equi2pers_grids(spec)
+    p_grids = build_pers2equi_grids(spec)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((2, 64, 128, 2), dtype=np.float32))
+    cot_w = jnp.asarray(rng.random((2, 64, 128, 2), dtype=np.float32))
+
+    def loss_custom(x):
+        pers = equi2pers(x, e_grids)
+        rec = pers2equi(pers, p_grids)
+        return jnp.sum(rec * cot_w)
+
+    def loss_autodiff(x):
+        src = x.reshape(2, -1, 2)
+        pers = quad_gather_blend(src, e_grids.idx, e_grids.w4, spec.erp_w)
+        rec = quad_gather_blend(pers, p_grids.idx, p_grids.w4, spec.patch_w)
+        return jnp.sum(rec.reshape(2, 64, 128, 2) * cot_w)
+
+    a = np.asarray(jax.grad(loss_custom)(img))
+    b = np.asarray(jax.grad(loss_autodiff)(img))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_vjp_tables_exactness():
+    """Capped table + overflow together hold the exact transpose."""
+    from omnifusion_tpu.projection.spec import build_vjp_tables
+
+    rng = np.random.default_rng(1)
+    n_out, n_in, k, stride = 200, 150, 3, 10
+    idx = rng.integers(0, n_in - stride - 2, (n_out, k)).astype(np.int32)
+    w4 = (rng.random((n_out, k, 4)) * (rng.random((n_out, k, 4)) > 0.3)).astype(np.float32)
+    idx_t, w_t, o_src, o_dst, o_w = build_vjp_tables(idx, w4, stride, n_in, cap=4)
+
+    # dense reconstruction of W^T
+    dense = np.zeros((n_in, n_out))
+    offs = [0, 1, stride, stride + 1]
+    for n in range(n_out):
+        for kk in range(k):
+            for q, off in enumerate(offs):
+                if w4[n, kk, q] > 0:
+                    dense[idx[n, kk] + off, n] += w4[n, kk, q]
+    from_table = np.zeros((n_in, n_out))
+    for j in range(n_in):
+        for t in range(idx_t.shape[1]):
+            if w_t[j, t] > 0:
+                from_table[j, idx_t[j, t]] += w_t[j, t]
+    for s, d, w in zip(o_src, o_dst, o_w):
+        from_table[d, s] += w
+    np.testing.assert_allclose(from_table, dense, atol=1e-6)
