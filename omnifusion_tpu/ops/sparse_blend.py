@@ -136,7 +136,6 @@ def quad_gather_blend_with_vjp(
     src_flat, idx, w4, row_stride: int, vjp_tables
 ) -> jnp.ndarray:
     """quad_gather_blend with a custom backward using transposed tables."""
-    idx_t, w_t, over_src, over_dst, over_w = (jnp.asarray(t) for t in vjp_tables)
     n_in = src_flat.shape[1]
 
     @jax.custom_vjp
@@ -147,6 +146,8 @@ def quad_gather_blend_with_vjp(
         return quad_gather_blend(src, idx, w4, row_stride), None
 
     def bwd(_, cot):
+        # tables materialize only when a backward is actually traced
+        idx_t, w_t, over_src, over_dst, over_w = (jnp.asarray(t) for t in vjp_tables)
         return (
             transposed_gather_blend(
                 cot, idx_t, w_t, over_src, over_dst, over_w, n_in
