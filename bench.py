@@ -46,7 +46,7 @@ def _timeout_guard():
         )
         os._exit(2)
 
-    timer = threading.Timer(float(os.environ.get("BENCH_TIMEOUT_SECS", "540")), expire)
+    timer = threading.Timer(float(os.environ.get("BENCH_TIMEOUT_SECS", "900")), expire)
     timer.daemon = True
     timer.start()
 
