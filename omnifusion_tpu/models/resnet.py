@@ -96,6 +96,9 @@ class ResNet34Encoder(nn.Module):
 
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    # (features, blocks, stride) per stage; override to shrink the trunk for
+    # compile-time-bounded smoke/dryrun paths (same pyramid, fewer blocks)
+    stages: Sequence[tuple[int, int, int]] = RESNET34_STAGES
 
     @nn.compact
     def __call__(self, x, train: bool = False, extra_layer1_features=None):
@@ -107,7 +110,7 @@ class ResNet34Encoder(nn.Module):
         x = nn.relu(x)
         feats["conv1"] = x
         x = max_pool_3x3_s2(x)
-        for i, (features, blocks, stride) in enumerate(RESNET34_STAGES, start=1):
+        for i, (features, blocks, stride) in enumerate(self.stages, start=1):
             x = ResNetStage(
                 features,
                 blocks,

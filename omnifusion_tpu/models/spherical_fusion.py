@@ -76,6 +76,7 @@ class DepthTrunk(nn.Module):
     pred_activation: str = "relu"  # 'relu' for depth, 'none' for seg logits
     use_transformer: bool = True  # False = legacy variant (network_360d.py:330-335)
     remat: bool = False  # rematerialize the encoder to trade FLOPs for HBM
+    encoder_stages: Optional[tuple] = None  # override = compile-bounded dryruns
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
@@ -97,7 +98,8 @@ class DepthTrunk(nn.Module):
             nn.remat(ResNet34Encoder, static_argnums=(2,)) if self.remat
             else ResNet34Encoder
         )
-        feats = encoder_cls(name="encoder", **kw)(x, train, pf.astype(x.dtype))
+        ekw = dict(kw, stages=self.encoder_stages) if self.encoder_stages else kw
+        feats = encoder_cls(name="encoder", **ekw)(x, train, pf.astype(x.dtype))
         conv1, l1, l2, l3, l4 = (
             feats["conv1"],
             feats["layer1"],
@@ -186,6 +188,7 @@ class SphericalFusion(nn.Module):
     num_heads: int = 4
     use_transformer: bool = True
     remat: bool = False
+    encoder_stages: Optional[tuple] = None
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
@@ -219,6 +222,7 @@ class SphericalFusion(nn.Module):
             num_heads=self.num_heads,
             use_transformer=self.use_transformer,
             remat=self.remat,
+            encoder_stages=self.encoder_stages,
             axis_name=self.axis_name,
             dtype=self.dtype,
             name="trunk",

@@ -1,0 +1,104 @@
+"""Time one flagship TRAINING step on the real TPU and report MFU.
+
+Canonical train config (reference train_erp_depth.py:40-48): batch 8,
+512x1024 ERP, fov 80, nrows 4, patch 128, BerHu, AdamW.  Also times the
+inference forward and derives MFU from XLA's own cost analysis against the
+measured 19.7 TFLOP/s bf16 MXU peak (PERF_NOTES.md machine calibration).
+
+Timing rules for this runtime (PERF_NOTES.md): distinct inputs per call and
+materialize a device scalar per call.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+PEAK_TFLOPS = 19.7  # measured 8192^3 bf16 matmul on this chip
+
+
+def timed(fn, inputs, reduce_out):
+    reduce_out(fn(inputs[0]))  # warm-up (already compiled)
+    t0 = time.perf_counter()
+    for x in inputs:
+        reduce_out(fn(x))
+    return (time.perf_counter() - t0) / len(inputs)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--bf16", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from omnifusion_tpu.models import SphericalFusion
+    from omnifusion_tpu.projection import ProjectionSpec
+    from omnifusion_tpu.training import create_train_state, make_optimizer, make_train_step
+
+    print(f"devices: {jax.devices()}", flush=True)
+    spec = ProjectionSpec.create((512, 1024), (128, 128), (80, 80), nrows=4)
+    model = SphericalFusion(spec=spec, dtype=jnp.bfloat16 if args.bf16 else None)
+
+    rng = np.random.default_rng(0)
+    b = args.batch
+
+    def batch_of(i):
+        r = np.random.default_rng(i)
+        return {
+            "rgb": jnp.asarray(r.random((b, 512, 1024, 3), dtype=np.float32)),
+            "depth": jnp.asarray((r.random((b, 512, 1024, 1)) * 7 + 0.3).astype(np.float32)),
+            "mask": jnp.ones((b, 512, 1024, 1), jnp.float32),
+        }
+
+    tx = make_optimizer(lr=1e-4)
+    rgb1 = jnp.zeros((1, 512, 1024, 3), jnp.float32)
+    state = create_train_state(model, jax.random.PRNGKey(0), rgb1, tx)
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    print(f"params: {n_params/1e6:.1f}M", flush=True)
+
+    # ---- inference forward ----
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False).sum())
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    lowered = jax.jit(lambda v, x: model.apply(v, x, train=False)).lower(
+        variables, jnp.zeros((b, 512, 1024, 3), jnp.float32)
+    )
+    cost = lowered.compile().cost_analysis()
+    fwd_flops = float(cost.get("flops", 0.0)) if cost else 0.0
+
+    xs = [batch_of(i)["rgb"] for i in range(args.iters)]
+    t_fwd = timed(lambda x: fwd(variables, x), xs, lambda o: float(o))
+    fwd_mfu = fwd_flops / t_fwd / (PEAK_TFLOPS * 1e12)
+    print(
+        f"forward  b={b}: {t_fwd*1e3:8.1f} ms  {b/t_fwd:7.1f} panos/s  "
+        f"{fwd_flops/1e9:.1f} GFLOP  MFU {fwd_mfu*100:.1f}%",
+        flush=True,
+    )
+
+    # ---- train step ----
+    step = make_train_step(model, donate=False)
+    batches = [batch_of(100 + i) for i in range(args.iters)]
+    lowered_t = step.lower(state, batches[0])
+    cost_t = lowered_t.compile().cost_analysis()
+    t_flops = float(cost_t.get("flops", 0.0)) if cost_t else 0.0
+
+    def run_step(bb):
+        _, metrics = step(state, bb)
+        return metrics["loss"]
+
+    t_step = timed(run_step, batches, lambda o: float(o))
+    t_mfu = t_flops / t_step / (PEAK_TFLOPS * 1e12)
+    print(
+        f"train    b={b}: {t_step*1e3:8.1f} ms  {b/t_step:7.1f} panos/s  "
+        f"{t_flops/1e9:.1f} GFLOP  MFU {t_mfu*100:.1f}%",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
