@@ -10,51 +10,41 @@ is a documented engineering estimate of the torch reference on its target
 GPU (V100-class): ~40 GFLOP forward at achievable ~4 TFLOP/s utilization
 plus its per-call CPU grid rebuild => ~10 panoramas/sec.  BASELINE.json's
 north star of >=10x per-chip throughput corresponds to vs_baseline >= 10.
+
+Resilience: the TPU tunnel in this environment goes down for stretches
+(dispatch hangs inside a blocking C call — unkillable in-process).  The
+orchestrator therefore runs the actual measurement in a SUBPROCESS with a
+per-attempt timeout and retries with backoff while the total budget
+(BENCH_TIMEOUT_SECS, default 900s) lasts; only if every attempt fails does
+it emit an honest 0.0 line.  A persistent compile cache (committed
+.dryrun_cache) makes warm attempts compile in seconds.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
-
-import numpy as np
 
 REFERENCE_PANOS_PER_SEC = 10.0  # documented estimate, see module docstring
 BATCH = 64  # the TPU gather fast path needs a wide batch*channel dim
 ITERS = 4
 
 
-def _timeout_guard():
-    """The TPU tunnel in this environment occasionally goes down hard (jit
-    dispatch hangs forever).  Emit an honest failure line instead of hanging."""
-    import os
-    import threading
-
-    def expire():
-        # a thread (not SIGALRM): the hang sits inside a blocking C call that
-        # never returns to the interpreter, so signal handlers don't run
-        print(
-            json.dumps(
-                {
-                    "metric": "panoramas/sec/chip (512x1024 ERP, fov 80, nrows 4, one-shot) — TPU UNREACHABLE, benchmark timed out",
-                    "value": 0.0,
-                    "unit": "panoramas/sec",
-                    "vs_baseline": 0.0,
-                }
-            ),
-            flush=True,
-        )
-        os._exit(2)
-
-    timer = threading.Timer(float(os.environ.get("BENCH_TIMEOUT_SECS", "900")), expire)
-    timer.daemon = True
-    timer.start()
-
-
-def main():
-    _timeout_guard()
+def worker():
     import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".dryrun_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
+    import numpy as np
     from omnifusion_tpu.models import SphericalFusion
     from omnifusion_tpu.projection import ProjectionSpec
 
@@ -90,9 +80,63 @@ def main():
                 "unit": "panoramas/sec",
                 "vs_baseline": round(panos_per_sec / REFERENCE_PANOS_PER_SEC, 2),
             }
-        )
+        ),
+        flush=True,
     )
 
 
+def main():
+    budget = float(os.environ.get("BENCH_TIMEOUT_SECS", "900"))
+    deadline = time.time() + budget
+    attempt = 0
+    last_err = "no attempt ran"
+    while True:
+        attempt += 1
+        remaining = deadline - time.time()
+        if remaining < 30:
+            break
+        # leave headroom so the final failure line still prints in-budget;
+        # cap a single attempt so a dead tunnel gets several retries
+        per_attempt = min(remaining - 15, max(240.0, budget / 2))
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker"],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        try:
+            out, err = proc.communicate(timeout=per_attempt)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.communicate()
+            last_err = f"attempt {attempt} timed out after {per_attempt:.0f}s"
+            print(f"# {last_err}; retrying", file=sys.stderr, flush=True)
+            time.sleep(min(20.0 * attempt, max(0.0, deadline - time.time() - 30)))
+            continue
+        lines = [l for l in out.splitlines() if l.startswith("{")]
+        if proc.returncode == 0 and lines:
+            print(lines[-1], flush=True)
+            return
+        last_err = f"attempt {attempt} rc={proc.returncode}: {err.strip()[-300:]}"
+        print(f"# {last_err}; retrying", file=sys.stderr, flush=True)
+        time.sleep(min(20.0 * attempt, max(0.0, deadline - time.time() - 30)))
+    print(
+        json.dumps(
+            {
+                "metric": "panoramas/sec/chip (512x1024 ERP, fov 80, nrows 4, one-shot)"
+                " — TPU UNREACHABLE, all attempts failed",
+                "value": 0.0,
+                "unit": "panoramas/sec",
+                "vs_baseline": 0.0,
+            }
+        ),
+        flush=True,
+    )
+    print(f"# last error: {last_err}", file=sys.stderr, flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--worker" in sys.argv:
+        worker()
+    else:
+        main()

@@ -62,6 +62,13 @@ def add_common_args(parser: argparse.ArgumentParser, train: bool):
     parser.add_argument("--checkpoint", default=None, help="checkpoint to load (orbax dir or torch .pth)")
     parser.add_argument("--save_path", default="./results/run")
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument(
+        "--mesh",
+        default="auto",
+        help="device mesh as 'DATA[,MODEL]' counts, 'auto' (all local devices "
+        "on the data axis — the reference's default nn.DataParallel behavior, "
+        "train_erp_depth.py:143), or 'none' (single device, no mesh)",
+    )
     parser.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     parser.add_argument("--remat", action="store_true", help="rematerialize the encoder (saves HBM)")
     parser.add_argument(
@@ -88,6 +95,36 @@ def add_common_args(parser: argparse.ArgumentParser, train: bool):
         parser.add_argument("--visualize_interval", type=int, default=20)
         parser.add_argument("--save_ply", action="store_true")
     return parser
+
+
+def build_mesh(args):
+    """Mesh from --mesh: None for single-device, else a (data, model) Mesh.
+
+    'auto' puts the local devices on the data axis — the TPU-native
+    equivalent of the reference's default multi-GPU nn.DataParallel wrap
+    (train_erp_depth.py:143) — shrunk to the largest count that divides the
+    batch (GSPMD shards evenly; DataParallel scattered unevenly).
+    """
+    import math
+
+    import jax
+
+    from omnifusion_tpu.parallel import make_mesh
+
+    spec = getattr(args, "mesh", "auto") or "auto"
+    if spec == "none" or (spec == "auto" and len(jax.devices()) == 1):
+        return None
+    if spec == "auto":
+        n_data = math.gcd(int(getattr(args, "batch", 0) or 0), len(jax.devices()))
+        if n_data <= 1:
+            return None
+        return make_mesh(n_data=n_data, n_model=1, devices=jax.devices()[:n_data])
+    parts = [int(p) for p in spec.split(",") if p.strip()]
+    n_data = parts[0]
+    n_model = parts[1] if len(parts) > 1 else 1
+    return make_mesh(
+        n_data=n_data, n_model=n_model, devices=jax.devices()[: n_data * n_model]
+    )
 
 
 def resolve_erp_size(args):

@@ -48,8 +48,12 @@ def load_variables(args, model, spec):
 
 
 def run_eval(args) -> dict:
+    import contextlib
+
+    import jax
     import jax.numpy as jnp
 
+    from omnifusion_tpu.cli.common import build_mesh
     from omnifusion_tpu.data import DataLoader
     from omnifusion_tpu.evaluation import MetricAccumulator
     from omnifusion_tpu.training import make_eval_step
@@ -64,36 +68,49 @@ def run_eval(args) -> dict:
     confidence = True if args.model == "oneshot" else args.confidence
     eval_step = make_eval_step(model, confidence=confidence)
 
+    mesh = build_mesh(args)
+    batch_shard = None
+    mesh_ctx = contextlib.nullcontext()
+    if mesh is not None:
+        from omnifusion_tpu.parallel import batch_sharding
+
+        batch_shard = batch_sharding(mesh)
+        mesh_ctx = jax.set_mesh(mesh)
+        print(f"## mesh: {dict(mesh.shape)}")
+
     acc = MetricAccumulator()
     os.makedirs(args.save_path, exist_ok=True)
-    for batch_idx, batch in enumerate(loader):
-        jb = {k: jnp.asarray(v) for k, v in batch.items()}
-        metrics, n, pred = eval_step(
-            variables["params"], variables.get("batch_stats", {}), jb
-        )
-        acc.update({k: float(v) for k, v in metrics.items()}, float(n))
+    with mesh_ctx:
+        for batch_idx, batch in enumerate(loader):
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            if batch_shard is not None and jb["rgb"].shape[0] % dict(mesh.shape)["data"] == 0:
+                jb = jax.device_put(jb, batch_shard)
+            metrics, n, pred = eval_step(
+                variables["params"], variables.get("batch_stats", {}), jb
+            )
+            acc.update({k: float(v) for k, v in metrics.items()}, float(n))
 
-        if args.visualize_interval and batch_idx % args.visualize_interval == 0:
-            pred_np = np.asarray(pred[0])
-            err = np.abs(batch["depth"][0] - pred_np) * batch["mask"][0]
-            err[err < 0.1] = 0  # error-floor display rule (test.py:202-203)
-            try:
-                import cv2
+            if args.visualize_interval and batch_idx % args.visualize_interval == 0:
+                pred_np = np.asarray(pred[0])
+                err = np.abs(batch["depth"][0] - pred_np) * batch["mask"][0]
+                err[err < 0.1] = 0  # error-floor display rule (test.py:202-203)
+                try:
+                    import cv2
 
-                base = os.path.join(args.save_path, f"{batch_idx:04d}")
-                cv2.imwrite(base + "_rgb.png", (batch["rgb"][0][..., ::-1] * 255).astype(np.uint8))
-                cv2.imwrite(base + "_pred.png", colorize(pred_np, vmin=0)[..., ::-1])
-                cv2.imwrite(base + "_gt.png", colorize(batch["depth"][0], vmin=0)[..., ::-1])
-                cv2.imwrite(base + "_error.png", colorize(err, vmin=0)[..., ::-1])
-            except ImportError:
-                pass
-            if args.save_ply:
-                xyz, colors = ply.depth_to_pointcloud(pred_np, batch["rgb"][0])
-                ply.write_ply(
-                    os.path.join(args.save_path, f"{batch_idx:04d}_pred.ply"),
-                    [xyz, colors],
-                    ["x", "y", "z", "red", "green", "blue"],
-                )
+                    base = os.path.join(args.save_path, f"{batch_idx:04d}")
+                    cv2.imwrite(base + "_rgb.png", (batch["rgb"][0][..., ::-1] * 255).astype(np.uint8))
+                    cv2.imwrite(base + "_pred.png", colorize(pred_np, vmin=0)[..., ::-1])
+                    cv2.imwrite(base + "_gt.png", colorize(batch["depth"][0], vmin=0)[..., ::-1])
+                    cv2.imwrite(base + "_error.png", colorize(err, vmin=0)[..., ::-1])
+                except ImportError:
+                    pass
+                if args.save_ply:
+                    xyz, colors = ply.depth_to_pointcloud(pred_np, batch["rgb"][0])
+                    ply.write_ply(
+                        os.path.join(args.save_path, f"{batch_idx:04d}_pred.ply"),
+                        [xyz, colors],
+                        ["x", "y", "z", "red", "green", "blue"],
+                    )
 
     avg = acc.averages()
     print("Avg. Abs. Rel. Error      : {:.4f}".format(avg.get("abs_rel", float("nan"))))

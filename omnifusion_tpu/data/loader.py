@@ -59,19 +59,31 @@ class DataLoader:
             return {"rgb": cols[0], "labels": cols[1]}
         raise ValueError(f"unexpected sample arity {len(cols)}")
 
-    def prefetch_to_device(self, size: int = 2) -> Iterator[dict]:
+    def prefetch_to_device(self, size: int = 2, sharding=None) -> Iterator[dict]:
         """Iterate device-resident batches, overlapping H2D copies with
-        compute (the torch loader's pin_memory+workers role on TPU)."""
+        compute (the torch loader's pin_memory+workers role on TPU).
+
+        sharding: optional jax.sharding.Sharding for the batch (e.g.
+        ``batch_sharding(mesh)`` to split the leading dim over the mesh's
+        data axis — the reference DataParallel's scatter, done at H2D time)."""
         import collections
 
         import jax
 
+        def put(b):
+            if sharding is not None:
+                lead = next(iter(b.values())).shape[0]
+                n_data = dict(getattr(sharding, "mesh", None).shape).get("data", 1) if getattr(sharding, "mesh", None) is not None else 1
+                if lead % n_data == 0:
+                    return jax.device_put(b, sharding)
+            # ragged tail batch (drop_last=False): replicate instead of shard
+            return jax.device_put(b)
         queue: collections.deque = collections.deque()
         it = iter(self)
         try:
             while True:
                 while len(queue) < size:
-                    queue.append(jax.device_put(next(it)))
+                    queue.append(put(next(it)))
                 yield queue.popleft()
         except StopIteration:
             while queue:

@@ -128,3 +128,16 @@ def test_sharded_train_step_on_mesh():
     step1 = make_train_step(model, donate=False)
     _, metrics1 = step1(state, batch)
     np.testing.assert_allclose(loss_sharded, float(metrics1["loss"]), rtol=2e-4)
+
+
+def test_train_step_compiles_once():
+    """No silent retracing across steps/epochs (VERDICT round-1 next #9):
+    repeated steps with fresh batches must reuse one compiled executable."""
+    model = SphericalFusion(spec=TINY)
+    tx = make_optimizer(lr=1e-3, steps_per_epoch=4)
+    state = create_train_state(model, jax.random.PRNGKey(0), _batch()["rgb"], tx)
+    step = make_train_step(model, donate=False)
+    for epoch in range(2):
+        for i in range(3):
+            state, _ = step(state, _batch(seed=epoch * 10 + i))
+    assert step._cache_size() == 1, step._cache_size()

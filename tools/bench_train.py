@@ -12,9 +12,13 @@ materialize a device scalar per call.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PEAK_TFLOPS = 19.7  # measured 8192^3 bf16 matmul on this chip
 
