@@ -6,7 +6,7 @@ from omnifusion_tpu.projection.spec import (
     build_pers2equi_grids,
 )
 from omnifusion_tpu.projection.ops import equi2pers, pers2equi
-from omnifusion_tpu.projection.perspective import extract_views
+from omnifusion_tpu.projection.perspective import extract_views, insert_views
 
 __all__ = [
     "ProjectionSpec",
@@ -16,4 +16,6 @@ __all__ = [
     "build_pers2equi_grids",
     "equi2pers",
     "pers2equi",
+    "extract_views",
+    "insert_views",
 ]
