@@ -165,3 +165,47 @@ def test_average_meter():
     acc.update({"a": 1.0}, 2)
     acc.update({"a": 4.0}, 1)
     np.testing.assert_allclose(acc.averages()["a"], 2.0)
+
+
+def test_eval_protocol_batch2_matches_reference_loop():
+    """End-to-end eval-protocol pin at the reference's batch size 2
+    (test.py:94,160-177): median scaling is computed over the WHOLE batch
+    (compute_eval_metrics receives the full batch tensor, test.py:203), and
+    averages are weighted by valid-pixel count.  Runs the reference's actual
+    metrics module imported from /root/reference."""
+    import importlib.util
+    import pathlib
+
+    ref_metrics_path = pathlib.Path("/root/reference/metrics.py")
+    if not ref_metrics_path.exists():
+        pytest.skip("reference checkout not available")
+    spec_ = importlib.util.spec_from_file_location("ref_metrics", ref_metrics_path)
+    R = importlib.util.module_from_spec(spec_)
+    spec_.loader.exec_module(R)
+
+    ours = MetricAccumulator()
+    theirs = {k: AverageMeter() for k in ("abs_rel", "sq_rel", "lin_rms_sq", "log_rms_sq", "d1", "d2", "d3")}
+    step = jax.jit(compute_depth_metrics)
+
+    for seed in range(4):  # 4 batches of 2, uneven valid counts
+        pred, gt, mask = _rand_depths(seed, bs=2)
+        m, n = step(jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(mask))
+        ours.update({k: float(v) for k, v in m.items()}, float(n))
+
+        # the reference loop: NCHW tensors, whole-batch median scaling
+        t_pred, t_gt, t_mask = (
+            torch.from_numpy(x.transpose(0, 3, 1, 2)) for x in (pred, gt, mask)
+        )
+        N = t_mask.sum()
+        scale = t_gt[t_mask > 0].median() / t_pred[t_mask > 0].median()
+        t_pred = t_pred * scale
+        theirs["abs_rel"].update(float(R.abs_rel_error(t_pred, t_gt, t_mask)), float(N))
+        theirs["sq_rel"].update(float(R.sq_rel_error(t_pred, t_gt, t_mask)), float(N))
+        theirs["lin_rms_sq"].update(float(R.lin_rms_sq_error(t_pred, t_gt, t_mask)), float(N))
+        theirs["log_rms_sq"].update(float(R.log_rms_sq_error(t_pred, t_gt, t_mask)), float(N))
+        for k in (1, 2, 3):
+            theirs[f"d{k}"].update(float(R.delta_inlier_ratio(t_pred, t_gt, t_mask, k)), float(N))
+
+    avg = ours.averages()
+    for k, meter in theirs.items():
+        np.testing.assert_allclose(avg[k], meter.avg, rtol=3e-5, err_msg=k)

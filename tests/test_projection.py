@@ -201,3 +201,27 @@ def test_vjp_tables_exactness():
     for s, d, w in zip(o_src, o_dst, o_w):
         from_table[d, s] += w
     np.testing.assert_allclose(from_table, dense, atol=1e-6)
+
+
+def test_flagship_projection_matches_reference():
+    """FLAGSHIP certification (512x1024 ERP / patch 128 / nrows 4 — the
+    canonical eval config of test.py:45-52): both projection directions vs
+    the reference at full scale.  The fixture is float16-quantized (input was
+    quantized BEFORE either side ran, so compute inputs are identical); the
+    comparison tolerance covers output quantization (~1e-3) on top of the
+    usual f32-vs-f64 grid-build slack."""
+    g = load_golden("proj_512x1024_p128_f80_n4")
+    spec = _spec((512, 1024), 128, 80, 4)
+
+    erp_img = jnp.asarray(g["erp"].astype(np.float32).transpose(0, 2, 3, 1))
+    pers = np.asarray(equi2pers(erp_img, build_equi2pers_grids(spec)))
+    ref_pers = g["pers"].astype(np.float32).transpose(0, 4, 2, 3, 1)
+    mismatch = np.abs(pers - ref_pers) > 3e-3
+    assert mismatch.mean() < 1e-4, f"equi2pers mismatch fraction {mismatch.mean()}"
+    np.testing.assert_allclose(pers, ref_pers, atol=2e-2)
+
+    rec = np.asarray(pers2equi(jnp.asarray(ref_pers), build_pers2equi_grids(spec)))
+    ref_rec = g["erp_rec"].astype(np.float32).transpose(0, 2, 3, 1)
+    mismatch = np.abs(rec - ref_rec) > 3e-3
+    assert mismatch.mean() < 1e-4, f"pers2equi mismatch fraction {mismatch.mean()}"
+    np.testing.assert_allclose(rec, ref_rec, atol=2e-2)

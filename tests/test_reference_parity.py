@@ -227,3 +227,32 @@ def test_gradients_match_reference(reference_models):
     for i, (a, b) in enumerate(checks):
         rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-12)
         assert rel < 1e-2, (i, rel)
+
+
+def test_reference_crashes_at_nondefault_patch_ours_works(reference_models):
+    """The upstream transformer hard-codes 512-dim tokens/pos-emb
+    (model/spherical_model.py:211-212), so ANY patch size other than 128
+    crashes its forward (token dim = 32*(patch/32)^2).  Our DepthTrunk
+    derives the token dim from the patch size and adds an up_proj 1x1 when
+    tokens exceed layer4 channels — the capability the reference lacks.
+    This pins the reason the flagship bench runs patch 128 (BASELINE.md)."""
+    import torch
+
+    ref_oneshot, _ = reference_models
+    net = ref_oneshot.spherical_fusion(
+        nrows=4, npatches=18, patch_size=(64, 64), fov=(80, 80)
+    )
+    net.eval()
+    with torch.no_grad(), pytest.raises(RuntimeError):
+        net(torch.zeros(1, 3, 128, 256))
+
+    from omnifusion_tpu.models import SphericalFusion
+    from omnifusion_tpu.projection import ProjectionSpec
+
+    spec = ProjectionSpec.create((128, 256), (64, 64), (80, 80), 4)
+    model = SphericalFusion(spec=spec)
+    rgb = jnp.zeros((1, 128, 256, 3), jnp.float32)
+    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), rgb))()
+    out = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, rgb)
+    assert out.shape == (1, 128, 256, 1)
+    assert bool(jnp.isfinite(out).all())

@@ -39,17 +39,27 @@ def main():
     rng = np.random.default_rng(1234)
 
     configs = [
-        # (name, erp_h, erp_w, patch, fov, nrows)
-        ("proj_128x256_p32_f80_n4", 128, 256, 32, 80, 4),
-        ("proj_128x256_p32_f80_n3", 128, 256, 32, 80, 3),
-        ("proj_128x256_p32_f80_n5", 128, 256, 32, 80, 5),
-        ("proj_128x256_p32_f80_n6", 128, 256, 32, 80, 6),
-        ("proj_256x512_p64_f80_n4", 256, 512, 64, 80, 4),
-        ("proj_128x256_p32_f52_n4", 128, 256, 32, 52, 4),
+        # (name, erp_h, erp_w, patch, fov, nrows, half)
+        ("proj_128x256_p32_f80_n4", 128, 256, 32, 80, 4, False),
+        ("proj_128x256_p32_f80_n3", 128, 256, 32, 80, 3, False),
+        ("proj_128x256_p32_f80_n5", 128, 256, 32, 80, 5, False),
+        ("proj_128x256_p32_f80_n6", 128, 256, 32, 80, 6, False),
+        ("proj_256x512_p64_f80_n4", 256, 512, 64, 80, 4, False),
+        ("proj_128x256_p32_f52_n4", 128, 256, 32, 52, 4, False),
+        # FLAGSHIP (canonical eval config, test.py:45-52 at our patch-128
+        # token width): stored float16 to bound fixture size — the input is
+        # f16-quantized BEFORE both sides run, so the comparison itself is
+        # exact-input f32 compute with ~1e-3 output quantization.
+        ("proj_512x1024_p128_f80_n4", 512, 1024, 128, 80, 4, True),
     ]
 
-    for name, erp_h, erp_w, patch, fov, nrows in configs:
+    for name, erp_h, erp_w, patch, fov, nrows, half in configs:
+        if (OUT / f"{name}.npz").exists():
+            print(f"skip {name} (exists)")
+            continue
         img = rng.random((1, 3, erp_h, erp_w), dtype=np.float32)
+        if half:
+            img = img.astype(np.float16).astype(np.float32)
         t_img = torch.from_numpy(img)
         pers, xyz, uv, center_p = t_equi2pers(
             t_img, (fov, fov), nrows, patch_size=(patch, patch)
@@ -65,18 +75,30 @@ def main():
                 )
             finally:
                 os.chdir(cwd)
-        np.savez_compressed(
-            OUT / f"{name}.npz",
-            erp=img,
-            pers=pers.numpy(),
-            xyz=xyz.numpy(),
-            uv=uv.numpy(),
-            center_p=center_p.numpy(),
-            erp_rec=erp_rec.numpy(),
-            fov=np.array([fov, fov]),
-            nrows=np.array(nrows),
-            patch=np.array([patch, patch]),
-        )
+        if half:
+            # big flagship fixture: keep only the projection pair, f16
+            np.savez_compressed(
+                OUT / f"{name}.npz",
+                erp=img.astype(np.float16),
+                pers=pers.numpy().astype(np.float16),
+                erp_rec=erp_rec.numpy().astype(np.float16),
+                fov=np.array([fov, fov]),
+                nrows=np.array(nrows),
+                patch=np.array([patch, patch]),
+            )
+        else:
+            np.savez_compressed(
+                OUT / f"{name}.npz",
+                erp=img,
+                pers=pers.numpy(),
+                xyz=xyz.numpy(),
+                uv=uv.numpy(),
+                center_p=center_p.numpy(),
+                erp_rec=erp_rec.numpy(),
+                fov=np.array([fov, fov]),
+                nrows=np.array(nrows),
+                patch=np.array([patch, patch]),
+            )
         print(f"wrote {name}: pers {tuple(pers.shape)} rec {tuple(erp_rec.shape)}")
 
 
