@@ -46,21 +46,24 @@ def quad_gather_blend(
     s = src_flat.transpose(0, 2, 1).reshape(d, n_in)
     # XLA's TPU gather switches to a vectorized fast path once the leading
     # (batched) dim reaches 64 (~10x faster per element, flat cost in the
-    # leading dim — PERF_NOTES.md); pad small batches up to it
-    d_pad = 64 if 0 < d < 64 else d
+    # leading dim — PERF_NOTES.md).  The 4 rolled quad copies ride the
+    # LEADING axis, so the fast path engages at d >= 16 with every fetched
+    # element useful (the round-1 layout kept the quad minor-most and padded
+    # d to 64, wasting 75% of the fetch at batch 8).
+    d_pad = 16 if 0 < d < 16 else d
     if d_pad != d:
         s = jnp.concatenate([s, jnp.zeros((d_pad - d, n_in), s.dtype)], axis=0)
-    packed = jnp.stack(
+    packed = jnp.concatenate(
         [
             s,
             jnp.roll(s, -1, axis=1),
             jnp.roll(s, -row_stride, axis=1),
             jnp.roll(s, -(row_stride + 1), axis=1),
         ],
-        axis=-1,
-    )  # (D, N_in, 4)
-    g = jnp.take(packed, idx.reshape(-1), axis=1).reshape(d_pad, n_out, k, 4)
-    out = jnp.einsum("dnkq,nkq->dn", g, w4.astype(src_flat.dtype))
+        axis=0,
+    )  # (4*D, N_in), quad order [00, 01, 10, 11] in leading blocks
+    g = jnp.take(packed, idx.reshape(-1), axis=1).reshape(4, d_pad, n_out, k)
+    out = jnp.einsum("qdnk,nkq->dn", g, w4.astype(src_flat.dtype))
     return out[:d].reshape(b, c, n_out).transpose(0, 2, 1)
 
 
@@ -88,7 +91,7 @@ def gather_blend(src_flat: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray) -> jnp
     return out[:d].reshape(b, c, n_out).transpose(0, 2, 1)
 
 
-def transposed_gather_blend(
+def transposed_quad_gather_blend(
     cot: jnp.ndarray,
     idx_t: jnp.ndarray,
     w_t: jnp.ndarray,
@@ -96,40 +99,61 @@ def transposed_gather_blend(
     over_dst: jnp.ndarray,
     over_w: jnp.ndarray,
     n_in: int,
+    row_stride: int,
 ) -> jnp.ndarray:
-    """Apply W^T to a cotangent: the backward of a static sparse blend.
+    """Apply W^T to a cotangent: the backward of a static quad blend.
 
-    The transpose of a static sparse map is another static sparse map, so the
-    backward pass is a (fast-path) GATHER with precomputed transposed tables
-    instead of autodiff's slow scatter-add.  Fan-in per input pixel is capped
-    in ``idx_t``/``w_t``; the heavy tail (border pixels of pole patches that
-    absorb clamp-folded weights, fan-in up to ~2000) lives in a sorted COO
+    The transpose of a static sparse map is another static sparse map, so
+    the backward pass is a (fast-path) GATHER with precomputed transposed
+    tables instead of autodiff's slow scatter-add.  Tables are in QUAD
+    granularity (one gather index covers all 4 corners of a forward fetch,
+    spec.build_vjp_tables): each fetched cotangent is weighted by the 4
+    corner weights into 4 accumulator planes, and the corner offsets
+    [0, 1, W, W+1] are applied as 3 cheap rolls at the end.  Fan-in per
+    input quad is capped in ``idx_t``/``w_t``; the heavy tail (border pixels
+    of pole patches that absorb clamp-folded weights) lives in a sorted COO
     overflow handled by one gather + segment_sum.
 
     Args:
       cot: (B, N_out, C) cotangent.
-      idx_t/w_t: (N_in, K_T) capped transposed table.
+      idx_t: (N_in, K_T) int32 output-pixel indices.
+      w_t: (N_in, K_T, 4) quad weights (0 = padding).
       over_src: (M,) int32 indices into N_out (sorted by over_dst).
       over_dst: (M,) int32 indices into N_in.
-      over_w: (M,) weights (0 = padding).
+      over_w: (M, 4) quad weights.
+      row_stride: flat-index distance between vertically adjacent pixels.
 
     Returns:
       (B, N_in, C) cotangent for the source.
     """
-    out = gather_blend(cot, idx_t, w_t)
-    if over_src.shape[0] == 0:
-        return out
-    b, _, c = cot.shape
+    b, n_out, c = cot.shape
+    k_t = idx_t.shape[1]
     d = b * c
-    g = cot.transpose(0, 2, 1).reshape(d, -1)
-    d_pad = 64 if 0 < d < 64 else d
+    g2 = cot.transpose(0, 2, 1).reshape(d, n_out)
+    d_pad = 64 if 0 < d < 64 else d  # TPU gather fast path (PERF_NOTES.md)
     if d_pad != d:
-        g = jnp.concatenate([g, jnp.zeros((d_pad - d, g.shape[1]), g.dtype)], axis=0)
-    vals = jnp.take(g, over_src, axis=1) * over_w[None, :].astype(g.dtype)  # (D, M)
-    summed = jax.ops.segment_sum(
-        vals.T, over_dst, num_segments=n_in, indices_are_sorted=True
-    )  # (N_in, D)
-    return out + summed.T[:d].reshape(b, c, n_in).transpose(0, 2, 1)
+        g2 = jnp.concatenate([g2, jnp.zeros((d_pad - d, n_out), g2.dtype)], axis=0)
+    g = jnp.take(g2, idx_t.reshape(-1), axis=1).reshape(d_pad, n_in, k_t)
+    blocks = jnp.einsum("dnk,nkq->qdn", g, w_t.astype(cot.dtype))  # (4, D, N_in)
+
+    if over_src.shape[0]:
+        vals = jnp.take(g2, over_src, axis=1)  # (D, M)
+        contrib = vals[:, :, None] * over_w[None, :, :].astype(cot.dtype)  # (D, M, 4)
+        summed = jax.ops.segment_sum(
+            contrib.transpose(1, 0, 2).reshape(-1, d_pad * 4),
+            over_dst,
+            num_segments=n_in,
+            indices_are_sorted=True,
+        )  # (N_in, D*4)
+        blocks = blocks + summed.reshape(n_in, d_pad, 4).transpose(2, 1, 0)
+
+    out = (
+        blocks[0]
+        + jnp.roll(blocks[1], 1, axis=-1)
+        + jnp.roll(blocks[2], row_stride, axis=-1)
+        + jnp.roll(blocks[3], row_stride + 1, axis=-1)
+    )
+    return out[:d].reshape(b, c, n_in).transpose(0, 2, 1)
 
 
 def quad_gather_blend_with_vjp(
@@ -149,8 +173,8 @@ def quad_gather_blend_with_vjp(
         # tables materialize only when a backward is actually traced
         idx_t, w_t, over_src, over_dst, over_w = (jnp.asarray(t) for t in vjp_tables)
         return (
-            transposed_gather_blend(
-                cot, idx_t, w_t, over_src, over_dst, over_w, n_in
+            transposed_quad_gather_blend(
+                cot, idx_t, w_t, over_src, over_dst, over_w, n_in, row_stride
             ),
         )
 

@@ -194,22 +194,26 @@ def _fold_clamped_corners(w4: np.ndarray, x_clamped: np.ndarray, y_clamped: np.n
     return np.stack([w00, w01, w10, w11], axis=-1)
 
 
-def build_vjp_tables(idx: np.ndarray, w4: np.ndarray, row_stride: int, n_in: int, cap: int = 24):
-    """Transpose the quad-table sparse map for the custom backward.
+def build_vjp_tables(idx: np.ndarray, w4: np.ndarray, row_stride: int, n_in: int, cap: int = 8):
+    """Transpose the quad-table sparse map for the custom backward, in QUAD
+    granularity: all 4 corners of a forward fetch share one top-left index,
+    so the transposed table stores one entry per (input quad, output pixel)
+    with the 4 corner weights attached — 4x fewer backward gather indices
+    than a corner-level transpose (the corner split is recovered by 3 cheap
+    rolls in the apply, see sparse_blend.transposed_quad_gather_blend).
 
-    Returns (idx_t (N_in, K) int32, w_t (N_in, K) f32, over_src (M,) i32,
-    over_dst (M,) i32, over_w (M,) f32): a fan-in-capped transposed table
-    plus a COO overflow (sorted by destination) for the heavy tail.
+    Returns (idx_t (N_in, K_T) int32, w_t (N_in, K_T, 4) f32,
+    over_src (M,) i32, over_dst (M,) i32, over_w (M, 4) f32): a
+    fan-in-capped transposed table plus a COO overflow (sorted by
+    destination) for the heavy tail (pole-patch border pixels whose quads
+    absorb clamp-folded weights).
     """
     n_out, k = idx.shape
-    offs = np.array([0, 1, row_stride, row_stride + 1], np.int64)
-    j = (idx[:, :, None].astype(np.int64) + offs[None, None, :]).reshape(-1)
-    w = np.asarray(w4, np.float64).reshape(-1)
-    n = np.repeat(np.arange(n_out, dtype=np.int64), k * 4)
-    keep = w > 0
+    j = idx.astype(np.int64).reshape(-1)
+    w = np.asarray(w4, np.float64).reshape(-1, 4)
+    n = np.repeat(np.arange(n_out, dtype=np.int64), k)
+    keep = w.sum(-1) > 0
     j, w, n = j[keep], w[keep], n[keep]
-    # wrapped entries always carry zero weight (clamp folding), so all kept
-    # entries are in range
     order = np.argsort(j, kind="stable")
     j, w, n = j[order], w[order], n[order]
 
@@ -220,7 +224,7 @@ def build_vjp_tables(idx: np.ndarray, w4: np.ndarray, row_stride: int, n_in: int
     )
     in_table = rank < k_t
     idx_t = np.zeros((n_in, max(k_t, 1)), np.int32)
-    w_t = np.zeros((n_in, max(k_t, 1)), np.float32)
+    w_t = np.zeros((n_in, max(k_t, 1), 4), np.float32)
     idx_t[j[in_table], rank[in_table]] = n[in_table]
     w_t[j[in_table], rank[in_table]] = w[in_table]
 

@@ -176,16 +176,21 @@ def test_custom_vjp_matches_autodiff():
 
 
 def test_vjp_tables_exactness():
-    """Capped table + overflow together hold the exact transpose."""
+    """Capped quad table + overflow together hold the exact transpose:
+    table entries are (input quad -> output pixel) with 4 corner weights,
+    and the corner offsets [0, 1, W, W+1] are applied by the consumer
+    (transposed_quad_gather_blend's rolls)."""
     from omnifusion_tpu.projection.spec import build_vjp_tables
 
     rng = np.random.default_rng(1)
     n_out, n_in, k, stride = 200, 150, 3, 10
     idx = rng.integers(0, n_in - stride - 2, (n_out, k)).astype(np.int32)
     w4 = (rng.random((n_out, k, 4)) * (rng.random((n_out, k, 4)) > 0.3)).astype(np.float32)
-    idx_t, w_t, o_src, o_dst, o_w = build_vjp_tables(idx, w4, stride, n_in, cap=4)
+    idx_t, w_t, o_src, o_dst, o_w = build_vjp_tables(idx, w4, stride, n_in, cap=2)
+    assert w_t.shape == (n_in, 2, 4) and o_w.shape[-1] == 4
+    assert np.all(np.diff(o_dst) >= 0)  # overflow sorted by destination
 
-    # dense reconstruction of W^T
+    # dense reconstruction of W^T (corner-expanded ground truth)
     dense = np.zeros((n_in, n_out))
     offs = [0, 1, stride, stride + 1]
     for n in range(n_out):
@@ -196,10 +201,13 @@ def test_vjp_tables_exactness():
     from_table = np.zeros((n_in, n_out))
     for j in range(n_in):
         for t in range(idx_t.shape[1]):
-            if w_t[j, t] > 0:
-                from_table[j, idx_t[j, t]] += w_t[j, t]
+            for q, off in enumerate(offs):
+                if w_t[j, t, q] > 0:
+                    from_table[j + off, idx_t[j, t]] += w_t[j, t, q]
     for s, d, w in zip(o_src, o_dst, o_w):
-        from_table[d, s] += w
+        for q, off in enumerate(offs):
+            if w[q] > 0:
+                from_table[d + off, s] += w[q]
     np.testing.assert_allclose(from_table, dense, atol=1e-6)
 
 
