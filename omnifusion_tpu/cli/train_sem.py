@@ -84,30 +84,51 @@ def run_training_sem(args) -> dict:
         logits = model.apply({"params": params, "batch_stats": batch_stats}, rgb, train=False)
         return jnp.argmax(logits, axis=-1)
 
+    import contextlib
+
+    from omnifusion_tpu.cli.common import build_mesh
+
+    mesh = build_mesh(args)
+    batch_shard = None
+    mesh_ctx = contextlib.nullcontext()
+    if mesh is not None:
+        from omnifusion_tpu.parallel import batch_sharding
+
+        batch_shard = batch_sharding(mesh)
+        mesh_ctx = jax.set_mesh(mesh)
+        print(f"## mesh: {dict(mesh.shape)}")
+
+    def put(x):
+        x = jnp.asarray(x)
+        if batch_shard is not None and x.shape[0] % dict(mesh.shape)["data"] == 0:
+            return jax.device_put(x, batch_shard)
+        return x
+
     history: dict = {"train_loss": [], "miou": []}
     best_miou = 0.0
-    for epoch in range(args.epochs):
-        t0 = time.time()
-        losses = []
-        for batch in train_loader:
-            rgb, labels = jnp.asarray(batch["rgb"]), jnp.asarray(batch["labels"])
-            state, loss = train_step(state, rgb, labels)
-            losses.append(float(loss))
-        mean_loss = float(np.mean(losses)) if losses else float("nan")
-        history["train_loss"].append(mean_loss)
-        mgr.save(state, "latest")
+    with mesh_ctx:
+        for epoch in range(args.epochs):
+            t0 = time.time()
+            pending = []  # device scalars; sync once per epoch
+            for batch in train_loader:
+                state, loss = train_step(state, put(batch["rgb"]), put(batch["labels"]))
+                pending.append(loss)
+            losses = [float(x) for x in pending]
+            mean_loss = float(np.mean(losses)) if losses else float("nan")
+            history["train_loss"].append(mean_loss)
+            mgr.save(state, "latest")
 
-        preds, gts = [], []
-        for batch in val_loader:
-            p = predict(state.params, state.batch_stats, jnp.asarray(batch["rgb"]))
-            preds.extend(np.asarray(p))
-            gts.extend(np.asarray(batch["labels"]))
-        miou, _ = evaluate_iou(preds, gts, args.num_classes)
-        history["miou"].append(miou)
-        print(f"epoch {epoch}: loss {mean_loss:.4f}  mIoU {miou:.4f}  ({time.time()-t0:.1f}s)")
-        if miou > best_miou:
-            best_miou = miou
-            mgr.save(state, "latest", best=True)
+            preds, gts = [], []
+            for batch in val_loader:
+                p = predict(state.params, state.batch_stats, put(batch["rgb"]))
+                preds.extend(np.asarray(p))
+                gts.extend(np.asarray(batch["labels"]))
+            miou, _ = evaluate_iou(preds, gts, args.num_classes)
+            history["miou"].append(miou)
+            print(f"epoch {epoch}: loss {mean_loss:.4f}  mIoU {miou:.4f}  ({time.time()-t0:.1f}s)")
+            if miou > best_miou:
+                best_miou = miou
+                mgr.save(state, "latest", best=True)
     history["best_miou"] = best_miou
     return history
 
