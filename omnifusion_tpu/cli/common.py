@@ -127,6 +127,25 @@ def build_mesh(args):
     )
 
 
+def dump_run_config(args):
+    """Provenance: record the exact run configuration in the results dir
+    (the reference copies the script itself, train_erp_depth.py:87-88; a
+    JSON of the resolved flags is the reproducible equivalent)."""
+    import json
+    import sys
+    import time
+
+    os.makedirs(args.save_path, exist_ok=True)
+    payload = {
+        "argv": sys.argv,
+        "time": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "args": {k: repr(v) if not isinstance(v, (int, float, str, bool, type(None), list, tuple)) else v
+                 for k, v in vars(args).items()},
+    }
+    with open(os.path.join(args.save_path, "run_config.json"), "w") as f:
+        json.dump(payload, f, indent=2, default=str)
+
+
 def resolve_erp_size(args):
     if args.erp_size is None:
         args.erp_size = (256, 512) if args.dataset == "360d" else (512, 1024)

@@ -78,8 +78,10 @@ def run_eval(args) -> dict:
         mesh_ctx = jax.set_mesh(mesh)
         print(f"## mesh: {dict(mesh.shape)}")
 
+    from omnifusion_tpu.cli.common import dump_run_config
+
+    dump_run_config(args)
     acc = MetricAccumulator()
-    os.makedirs(args.save_path, exist_ok=True)
     with mesh_ctx:
         for batch_idx, batch in enumerate(loader):
             jb = {k: jnp.asarray(v) for k, v in batch.items()}

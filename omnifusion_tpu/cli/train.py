@@ -67,7 +67,9 @@ def run_training(args) -> dict:
     sample = jnp.zeros((1, spec.erp_h, spec.erp_w, 3))
     state = create_train_state(model, jax.random.PRNGKey(args.seed), sample, tx)
 
-    os.makedirs(args.save_path, exist_ok=True)
+    from omnifusion_tpu.cli.common import dump_run_config
+
+    dump_run_config(args)
     ckpt_dir = args.save_checkpoint or os.path.join(args.save_path, "ckpt")
     mgr = CheckpointManager(ckpt_dir)
     if args.checkpoint:

@@ -62,7 +62,9 @@ def run_training_sem(args) -> dict:
     )
     sample = jnp.zeros((1, spec.erp_h, spec.erp_w, 3))
     state = create_train_state(model, jax.random.PRNGKey(args.seed), sample, tx)
-    os.makedirs(args.save_path, exist_ok=True)
+    from omnifusion_tpu.cli.common import dump_run_config
+
+    dump_run_config(args)
     mgr = CheckpointManager(args.save_checkpoint or os.path.join(args.save_path, "ckpt"))
 
     @jax.jit
