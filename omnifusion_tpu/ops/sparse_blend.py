@@ -67,6 +67,68 @@ def quad_gather_blend(
     return out[:d].reshape(b, c, n_out).transpose(0, 2, 1)
 
 
+def capped_quad_gather_blend(
+    src_flat: jnp.ndarray,
+    idx: jnp.ndarray,
+    w4: jnp.ndarray,
+    tail_pix: jnp.ndarray,
+    tail_idx: jnp.ndarray,
+    tail_w: jnp.ndarray,
+    row_stride: int,
+) -> jnp.ndarray:
+    """quad_gather_blend on a dense-cap + sorted-COO-tail table.
+
+    The dense (N_out, K) quad table wastes fetches on dead slots (the
+    pers2equi table is ~52% live at the flagship config: most pixels see 2
+    patches, K is set by the rare 4-patch corners).  Capping the dense part
+    at the per-pixel median and spilling the tail to COO (one gather +
+    sorted segment_sum, same scheme as the backward's transposed tables)
+    cuts gather volume ~45% — and the gather IS the merge cost on TPU
+    (PERF_NOTES round-2 cost model: ~12-25 ns per index, ~0.2-0.4 ns per
+    fetched element; speed-of-light HBM traffic would be ~0.1 ms).
+
+    Args:
+      src_flat: (B, N_in, C).
+      idx: (N_out, CAP) int32 top-left corners (live-first per pixel).
+      w4: (N_out, CAP, 4) weights.
+      tail_pix: (M,) int32 sorted output pixel of each tail quad.
+      tail_idx: (M,) int32 top-left corner of each tail quad.
+      tail_w: (M, 4) weights.
+      row_stride: flat-index distance between vertically adjacent pixels.
+
+    Returns:
+      (B, N_out, C).
+    """
+    b, n_in, c = src_flat.shape
+    n_out, k = idx.shape
+    d = b * c
+    s = src_flat.transpose(0, 2, 1).reshape(d, n_in)
+    d_pad = 16 if 0 < d < 16 else d  # leading-axis fast path (quad_gather_blend)
+    if d_pad != d:
+        s = jnp.concatenate([s, jnp.zeros((d_pad - d, n_in), s.dtype)], axis=0)
+    packed = jnp.concatenate(
+        [
+            s,
+            jnp.roll(s, -1, axis=1),
+            jnp.roll(s, -row_stride, axis=1),
+            jnp.roll(s, -(row_stride + 1), axis=1),
+        ],
+        axis=0,
+    )  # (4*D, N_in)
+    g = jnp.take(packed, idx.reshape(-1), axis=1).reshape(4, d_pad, n_out, k)
+    out = jnp.einsum("qdnk,nkq->dn", g, w4.astype(src_flat.dtype))
+
+    if tail_pix.shape[0]:
+        gt = jnp.take(packed, tail_idx, axis=1).reshape(4, d_pad, -1)
+        vals = jnp.einsum("qdm,mq->md", gt, tail_w.astype(src_flat.dtype))
+        summed = jax.ops.segment_sum(
+            vals, tail_pix, num_segments=n_out, indices_are_sorted=True
+        )  # (N_out, D)
+        out = out + summed.T
+
+    return out[:d].reshape(b, c, n_out).transpose(0, 2, 1)
+
+
 def gather_blend(src_flat: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """Weighted gather along the pixel axis.
 
@@ -157,17 +219,33 @@ def transposed_quad_gather_blend(
 
 
 def quad_gather_blend_with_vjp(
-    src_flat, idx, w4, row_stride: int, vjp_tables
+    src_flat, idx, w4, row_stride: int, vjp_tables, capped=None
 ) -> jnp.ndarray:
-    """quad_gather_blend with a custom backward using transposed tables."""
+    """quad_gather_blend with a custom backward using transposed tables.
+
+    When ``capped`` tables are given (spec.build_capped_tables) the forward
+    runs capped_quad_gather_blend — the identical sparse map re-packed with
+    less gather volume, so the one transposed backward serves both."""
     n_in = src_flat.shape[1]
+
+    if capped is not None:
+        idx_c, w_c, tail_pix, tail_idx, tail_w = capped
+
+        def _forward(src):
+            return capped_quad_gather_blend(
+                src, idx_c, w_c, tail_pix, tail_idx, tail_w, row_stride
+            )
+    else:
+
+        def _forward(src):
+            return quad_gather_blend(src, idx, w4, row_stride)
 
     @jax.custom_vjp
     def op(src):
-        return quad_gather_blend(src, idx, w4, row_stride)
+        return _forward(src)
 
     def fwd(src):
-        return quad_gather_blend(src, idx, w4, row_stride), None
+        return _forward(src), None
 
     def bwd(_, cot):
         # tables materialize only when a backward is actually traced

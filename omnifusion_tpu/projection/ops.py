@@ -69,7 +69,9 @@ def pers2equi(pers: jnp.ndarray, grids: Pers2EquiGrids) -> jnp.ndarray:
     b, p, h, w, c = pers.shape
     assert (p, h, w) == (spec.n_patches, spec.patch_h, spec.patch_w), (pers.shape, spec)
     src = pers.reshape(b, p * h * w, c)
-    out = quad_gather_blend_with_vjp(src, grids.idx, grids.w4, spec.patch_w, grids.vjp)
+    out = quad_gather_blend_with_vjp(
+        src, grids.idx, grids.w4, spec.patch_w, grids.vjp, capped=grids.capped
+    )
     return out.reshape(b, spec.erp_h, spec.erp_w, c)
 
 

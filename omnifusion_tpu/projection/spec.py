@@ -139,11 +139,20 @@ class Pers2EquiGrids:
     Per ERP pixel: the top-left corner index of a bilinear quad in each of
     the <=K contributing patches, plus pre-normalized quad weights
     (sum over K*4 is 1 wherever any patch covers the pixel, 0 elsewhere).
+
+    ``capped`` is the same sparse map re-packed for the runtime: the K=4
+    dense table is only ~52% live at the flagship config (most ERP pixels
+    see 2 patches; the 4-patch corners are rare), and the TPU gather's cost
+    scales with fetched (index, element) volume — so the runtime table keeps
+    a dense cap of the heaviest contributors per pixel and spills the rest
+    to a sorted COO tail (one gather + segment_sum).  None when the dense
+    table is already tight (see build_capped_tables).
     """
 
     idx: jnp.ndarray  # (erp_h*erp_w, K) int32 into P*h*w
     w4: jnp.ndarray  # (erp_h*erp_w, K, 4) float32 [00, 01, 10, 11]
     vjp: tuple  # transposed tables for the custom backward (see build_vjp_tables)
+    capped: tuple | None  # (idx_c, w_c, tail_pix, tail_idx, tail_w) or None
     spec: ProjectionSpec = struct.field(pytree_node=False)
 
 
@@ -194,13 +203,27 @@ def _fold_clamped_corners(w4: np.ndarray, x_clamped: np.ndarray, y_clamped: np.n
     return np.stack([w00, w01, w10, w11], axis=-1)
 
 
-def build_vjp_tables(idx: np.ndarray, w4: np.ndarray, row_stride: int, n_in: int, cap: int = 8):
+def build_vjp_tables(
+    idx: np.ndarray,
+    w4: np.ndarray,
+    row_stride: int,
+    n_in: int,
+    cap: int = 16,
+    scatter_cost: float = 3.0,
+):
     """Transpose the quad-table sparse map for the custom backward, in QUAD
     granularity: all 4 corners of a forward fetch share one top-left index,
     so the transposed table stores one entry per (input quad, output pixel)
     with the 4 corner weights attached — 4x fewer backward gather indices
     than a corner-level transpose (the corner split is recovered by 3 cheap
     rolls in the apply, see sparse_blend.transposed_quad_gather_blend).
+
+    The dense fan-in K_T is chosen per table by minimizing estimated gather
+    work ``n_in*k + scatter_cost*overflow(k)`` (an overflow entry costs one
+    gather index plus a segment-sum scatter): the fan-in distribution is
+    heavy-tailed (flagship p2e transpose: mean 3.7, max 1017; e2p transpose:
+    mean 0.56, max 4), so a tight cap with a fatter COO tail fetches far
+    less than covering the tail densely.
 
     Returns (idx_t (N_in, K_T) int32, w_t (N_in, K_T, 4) f32,
     over_src (M,) i32, over_dst (M,) i32, over_w (M, 4) f32): a
@@ -218,7 +241,15 @@ def build_vjp_tables(idx: np.ndarray, w4: np.ndarray, row_stride: int, n_in: int
     j, w, n = j[order], w[order], n[order]
 
     counts = np.bincount(j, minlength=n_in)
-    k_t = int(min(counts.max(), cap)) if len(j) else 1
+    if len(j):
+        hi = int(min(counts.max(), cap))
+        costs = [
+            n_in * c + scatter_cost * np.maximum(counts - c, 0).sum()
+            for c in range(1, hi + 1)
+        ]
+        k_t = int(np.argmin(costs)) + 1
+    else:
+        k_t = 1
     rank = np.arange(len(j)) - np.repeat(
         np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
     )
@@ -367,5 +398,34 @@ def build_pers2equi_grids(spec: ProjectionSpec) -> Pers2EquiGrids:
         idx=idx_k,
         w4=w_k,
         vjp=build_vjp_tables(idx_k, w_k, pw, P * ph * pw),
+        capped=build_capped_tables(idx_k, w_k),
         spec=spec,
+    )
+
+
+def build_capped_tables(idx_k: np.ndarray, w_k: np.ndarray, scatter_cost: float = 3.0):
+    """Re-pack a slot-sorted (N, K) quad table as dense-cap + sorted COO tail.
+
+    Picks the cap that minimizes estimated gather work
+    ``N*cap + scatter_cost*tail(cap)`` (a COO tail entry costs one gather
+    index plus a segment-sum scatter, ~3x a dense index); returns None when
+    the dense table wins, i.e. the map is already tight.  Slots must be
+    live-first per pixel (build_pers2equi_grids sorts by descending weight).
+    """
+    n, k = idx_k.shape
+    live = w_k.sum(-1) > 0  # (N, K), front-packed per row
+    counts = live.sum(1)
+    tail_sizes = [int(np.maximum(counts - cap, 0).sum()) for cap in range(1, k + 1)]
+    costs = [n * cap + scatter_cost * t for cap, t in zip(range(1, k + 1), tail_sizes)]
+    cap = int(np.argmin(costs)) + 1
+    if cap == k:
+        return None
+    tail_pix, tail_slot = np.nonzero(live[:, cap:])
+    tail_slot = tail_slot + cap
+    return (
+        np.ascontiguousarray(idx_k[:, :cap]),
+        np.ascontiguousarray(w_k[:, :cap]),
+        tail_pix.astype(np.int32),
+        idx_k[tail_pix, tail_slot].astype(np.int32),
+        np.ascontiguousarray(w_k[tail_pix, tail_slot]),
     )

@@ -233,3 +233,52 @@ def test_flagship_projection_matches_reference():
     mismatch = np.abs(rec - ref_rec) > 3e-3
     assert mismatch.mean() < 1e-4, f"pers2equi mismatch fraction {mismatch.mean()}"
     np.testing.assert_allclose(rec, ref_rec, atol=2e-2)
+
+
+def test_capped_merge_matches_dense_table():
+    """The capped (dense-cap + COO-tail) runtime table must compute the same
+    sparse map as the full K-slot table, forward and backward."""
+    from omnifusion_tpu.ops.sparse_blend import (
+        capped_quad_gather_blend,
+        quad_gather_blend,
+    )
+    from omnifusion_tpu.projection.spec import build_capped_tables
+
+    for erp, patch, nrows in [((64, 128), 16, 4), ((128, 256), 32, 5)]:
+        spec = _spec(erp, patch, 80, nrows)
+        grids = build_pers2equi_grids(spec)
+        capped = build_capped_tables(np.asarray(grids.idx), np.asarray(grids.w4))
+        if capped is None:  # table already tight at this config
+            continue
+        rng = np.random.default_rng(11)
+        p = spec.n_patches
+        src = jnp.asarray(rng.random((2, p * patch * patch, 3), dtype=np.float32))
+        dense = np.asarray(quad_gather_blend(src, grids.idx, grids.w4, spec.patch_w))
+        cap = np.asarray(capped_quad_gather_blend(src, *capped, spec.patch_w))
+        np.testing.assert_allclose(cap, dense, rtol=1e-5, atol=1e-6, err_msg=str(spec))
+
+
+def test_capped_merge_gradient_matches_autodiff():
+    from omnifusion_tpu.projection.ops import pers2equi
+
+    spec = _spec((64, 128), 16, 80, 4)
+    grids = build_pers2equi_grids(spec)
+    assert grids.capped is not None
+    rng = np.random.default_rng(12)
+    p = spec.n_patches
+    src = jnp.asarray(rng.random((1, p, 16, 16, 2), dtype=np.float32))
+    cot = jnp.asarray(rng.random((1, 64, 128, 2), dtype=np.float32))
+
+    # custom-VJP (transposed tables) vs autodiff of the plain dense gather
+    from omnifusion_tpu.ops.sparse_blend import quad_gather_blend
+
+    ga = jax.grad(lambda s: jnp.sum(pers2equi(s, grids) * cot))(src)
+    gb = jax.grad(
+        lambda s: jnp.sum(
+            quad_gather_blend(
+                s.reshape(1, -1, 2), grids.idx, grids.w4, spec.patch_w
+            ).reshape(cot.shape)
+            * cot
+        )
+    )(src)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-5, atol=1e-6)
