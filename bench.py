@@ -49,9 +49,10 @@ def worker():
     from omnifusion_tpu.projection import ProjectionSpec
 
     spec = ProjectionSpec.create((512, 1024), (128, 128), (80, 80), nrows=4)
-    model = SphericalFusion(spec=spec)
     rgb1 = jnp.zeros((1, 512, 1024, 3), jnp.float32)
-    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), rgb1))()
+    variables = jax.jit(
+        lambda: SphericalFusion(spec=spec).init(jax.random.PRNGKey(0), rgb1)
+    )()
 
     # Honest timing on this runtime requires BOTH: distinct inputs per call
     # (identical dispatches get elided) AND materializing a device-computed
@@ -63,22 +64,29 @@ def worker():
         )
         for i in range(ITERS)
     ]
-    fwd_sum = jax.jit(lambda v, x: model.apply(v, x, train=False).sum())
-    float(fwd_sum(variables, inputs[0]))  # compile + warm-up
 
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        float(fwd_sum(variables, inputs[i]))
-    dt = time.perf_counter() - t0
+    def measure(model):
+        fwd_sum = jax.jit(lambda v, x: model.apply(v, x, train=False).sum())
+        float(fwd_sum(variables, inputs[0]))  # compile + warm-up
+        t0 = time.perf_counter()
+        for i in range(ITERS):
+            float(fwd_sum(variables, inputs[i]))
+        return BATCH * ITERS / (time.perf_counter() - t0)
 
-    panos_per_sec = BATCH * ITERS / dt
+    # headline = bf16 compute, the TPU-native inference dtype: f32 params,
+    # f32 BN statistics and softmax, f32 confidence merge — only the trunk
+    # matmuls/convs and the bandwidth-bound equi2pers gather run bf16.
+    # (The f32 measurement lives in PERF_NOTES via tools/bench_components.py;
+    # one model here keeps a cold-compile attempt inside the retry budget.)
+    bf16 = measure(SphericalFusion(spec=spec, dtype=jnp.bfloat16))
     print(
         json.dumps(
             {
-                "metric": "panoramas/sec/chip (512x1024 ERP, fov 80, nrows 4, one-shot)",
-                "value": round(panos_per_sec, 2),
+                "metric": "panoramas/sec/chip (512x1024 ERP, fov 80, nrows 4, "
+                "one-shot, bf16 trunk)",
+                "value": round(bf16, 2),
                 "unit": "panoramas/sec",
-                "vs_baseline": round(panos_per_sec / REFERENCE_PANOS_PER_SEC, 2),
+                "vs_baseline": round(bf16 / REFERENCE_PANOS_PER_SEC, 2),
             }
         ),
         flush=True,
@@ -96,8 +104,11 @@ def main():
         if remaining < 30:
             break
         # leave headroom so the final failure line still prints in-budget;
-        # cap a single attempt so a dead tunnel gets several retries
-        per_attempt = min(remaining - 15, max(240.0, budget / 2))
+        # the first attempt gets most of the budget (a healthy-but-cold
+        # compile needs it), later attempts are capped so a dead tunnel
+        # still gets several retries
+        cap = (remaining - 60) if attempt == 1 else max(240.0, budget / 3)
+        per_attempt = min(remaining - 15, max(cap, 60.0))
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker"],
             stdout=subprocess.PIPE,

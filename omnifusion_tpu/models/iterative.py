@@ -65,6 +65,10 @@ class SphericalFusionIterative(nn.Module):
         mlp1 = MlpPoints(axis_name=self.axis_name, dtype=self.dtype, name="mlp_points1")
         mlp2 = MlpPoints(axis_name=self.axis_name, dtype=self.dtype, name="mlp_points2")
 
+        # cast BEFORE the projection when running mixed precision (the
+        # bandwidth-bound equi2pers gather then moves half the bytes)
+        if self.dtype is not None:
+            rgb = rgb.astype(self.dtype)
         patches = equi2pers(rgb, grids_hr)  # (B, P, h, w, 3)
 
         # pass 1: unit-sphere xyz embedding (spherical_model_iterative.py:315-319)

@@ -202,6 +202,11 @@ class SphericalFusion(nn.Module):
         spec_q = spec.with_patch_scale(4)
         grids_q = build_equi2pers_grids(spec_q)
 
+        # cast BEFORE the projection when running mixed precision: the
+        # equi2pers gather is bandwidth-bound on TPU, so gathering bf16
+        # halves its traffic, and the trunk consumes bf16 anyway
+        if self.dtype is not None:
+            rgb = rgb.astype(self.dtype)
         patches = equi2pers(rgb, grids_hr)  # (B, P, h, w, 3)
 
         # geometric embedding input: (center, rho=1, center) per patch pixel

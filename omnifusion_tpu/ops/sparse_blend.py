@@ -50,7 +50,9 @@ def quad_gather_blend(
     # LEADING axis, so the fast path engages at d >= 16 with every fetched
     # element useful (the round-1 layout kept the quad minor-most and padded
     # d to 64, wasting 75% of the fetch at batch 8).
-    d_pad = 16 if 0 < d < 16 else d
+    # the gather fast path is gated on leading-dim BYTES (64): 16 f32 / 32 bf16
+    min_lead = max(1, 64 // jnp.dtype(src_flat.dtype).itemsize)
+    d_pad = min_lead if 0 < d < min_lead else d
     if d_pad != d:
         s = jnp.concatenate([s, jnp.zeros((d_pad - d, n_in), s.dtype)], axis=0)
     packed = jnp.concatenate(
@@ -103,7 +105,9 @@ def capped_quad_gather_blend(
     n_out, k = idx.shape
     d = b * c
     s = src_flat.transpose(0, 2, 1).reshape(d, n_in)
-    d_pad = 16 if 0 < d < 16 else d  # leading-axis fast path (quad_gather_blend)
+    # leading-axis fast path, byte-gated (see quad_gather_blend)
+    min_lead = max(1, 64 // jnp.dtype(src_flat.dtype).itemsize)
+    d_pad = min_lead if 0 < d < min_lead else d
     if d_pad != d:
         s = jnp.concatenate([s, jnp.zeros((d_pad - d, n_in), s.dtype)], axis=0)
     packed = jnp.concatenate(

@@ -21,6 +21,7 @@ def main():
     ap.add_argument("--erp_size", default="512,1024")
     ap.add_argument("--patchsize", type=int, default=128)
     ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--bf16", action="store_true", help="bf16 trunk + projections")
     args = ap.parse_args()
 
     import jax
@@ -58,14 +59,21 @@ def main():
         dt = (time.perf_counter() - t0) / args.reps
         print(f"{name:36s} {dt*1000:8.2f} ms/batch{B}  ({B/dt:8.1f} panos/s)")
 
-    bench("equi2pers full-res", (B, h, w, 3), lambda x: equi2pers(x, g_hr).sum())
+    cdt = jnp.bfloat16 if args.bf16 else None
+
+    def maybe_cast(x):
+        return x.astype(cdt) if cdt is not None else x
+
+    bench(
+        "equi2pers full-res", (B, h, w, 3), lambda x: equi2pers(maybe_cast(x), g_hr).sum()
+    )
     bench(
         "merge (confidence)",
         (B, P, ph, ph, 1),
         lambda x: confidence_merge(x, x * 0.5 + 0.2, p2e).sum(),
     )
 
-    trunk = DepthTrunk()
+    trunk = DepthTrunk(dtype=cdt)
     pz = jnp.zeros((1, P, ph, ph, 3))
     pf = jnp.zeros((1, P, ph // 4, ph // 4, 64))
     tv = jax.jit(lambda: trunk.init(jax.random.PRNGKey(0), pz, pf))()
@@ -75,7 +83,7 @@ def main():
         lambda x: sum(o.sum() for o in trunk.apply(tv, x, pf, train=False)),
     )
 
-    model = SphericalFusion(spec=spec)
+    model = SphericalFusion(spec=spec, dtype=cdt)
     rgb1 = jnp.zeros((1, h, w, 3))
     variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), rgb1))()
     bench(
