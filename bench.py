@@ -57,20 +57,27 @@ def worker():
     # Honest timing on this runtime requires BOTH: distinct inputs per call
     # (identical dispatches get elided) AND materializing a device-computed
     # scalar (block_until_ready can return before execution completes) —
-    # see PERF_NOTES.md.
-    inputs = [
-        jnp.asarray(
-            np.random.default_rng(i).random((BATCH, 512, 1024, 3), dtype=np.float32)
-        )
-        for i in range(ITERS)
-    ]
+    # see PERF_NOTES.md.  ITERS forwards are chained inside ONE jit via
+    # lax.scan with a data dependency (each iteration perturbs the input by
+    # a function of the previous output), so the measurement is device time,
+    # not ITERS x tunnel dispatch latency.
+    x0 = jnp.asarray(
+        np.random.default_rng(0).random((BATCH, 512, 1024, 3), dtype=np.float32)
+    )
 
     def measure(model):
-        fwd_sum = jax.jit(lambda v, x: model.apply(v, x, train=False).sum())
-        float(fwd_sum(variables, inputs[0]))  # compile + warm-up
+        @jax.jit
+        def run(v, x, seed):
+            def step(s, _):
+                out = model.apply(v, s, train=False).sum()
+                return x * (seed + 1e-12 * out), out
+
+            _, outs = jax.lax.scan(step, x * seed, None, length=ITERS)
+            return outs.sum()
+
+        float(run(variables, x0, jnp.float32(1.0)))  # compile + warm-up
         t0 = time.perf_counter()
-        for i in range(ITERS):
-            float(fwd_sum(variables, inputs[i]))
+        float(run(variables, x0, jnp.float32(1.001)))
         return BATCH * ITERS / (time.perf_counter() - t0)
 
     # headline = bf16 compute, the TPU-native inference dtype: f32 params,

@@ -162,20 +162,26 @@ class DepthTrunk(nn.Module):
         )
 
 
-def confidence_merge(pred, conf, p2e_grids, use_confidence: bool = True):
+def confidence_merge(pred, conf, p2e_grids, use_confidence: bool = True, dtype=None):
     """Merge per-patch depth to ERP with the confidence-weighted scheme
     (spherical_model.py:304-311): pers2equi(pred*conf) / pers2equi(conf).
 
     pred*conf and conf are packed into one 2-channel pers2equi call: the
     gather's leading (batch*channel) dim doubles, which matters because the
     TPU gather switches to a vectorized fast path once that dim reaches 64
-    (see PERF_NOTES.md)."""
+    (see PERF_NOTES.md).
+
+    dtype: precision of the merge GATHER (default f32 — this is the final
+    depth, so bf16 here costs ~0.2-0.4% depth error and is an explicit
+    throughput opt-in, see PERF_NOTES; the normalizing division always
+    happens in f32)."""
+    mdt = jnp.float32 if dtype is None else dtype
     if not use_confidence:
-        return pers2equi(pred.astype(jnp.float32), p2e_grids)
-    pred = pred.astype(jnp.float32)
-    conf = conf.astype(jnp.float32)
+        return pers2equi(pred.astype(mdt), p2e_grids).astype(jnp.float32)
+    pred = pred.astype(mdt)
+    conf = conf.astype(mdt)
     merged = pers2equi(jnp.concatenate([pred * conf, conf], axis=-1), p2e_grids)
-    num, den = merged[..., :1], merged[..., 1:]
+    num, den = merged[..., :1].astype(jnp.float32), merged[..., 1:].astype(jnp.float32)
     zero = (den <= 1e-8).astype(jnp.float32)
     return num / (den + 1e-8 * zero)
 
@@ -191,6 +197,9 @@ class SphericalFusion(nn.Module):
     encoder_stages: Optional[tuple] = None
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    # precision of the final merge gather; None = f32 (the default even when
+    # dtype=bf16 — see confidence_merge)
+    merge_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, rgb, train: bool = False, confidence: bool = True):
@@ -234,5 +243,9 @@ class SphericalFusion(nn.Module):
         )(patches, pf[None], train=train)
 
         return confidence_merge(
-            pred, conf, build_pers2equi_grids(spec), use_confidence=confidence
+            pred,
+            conf,
+            build_pers2equi_grids(spec),
+            use_confidence=confidence,
+            dtype=self.merge_dtype,
         )

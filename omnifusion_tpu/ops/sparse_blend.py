@@ -149,7 +149,9 @@ def gather_blend(src_flat: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray) -> jnp
     n_out, k = idx.shape
     d = b * c
     s = src_flat.transpose(0, 2, 1).reshape(d, n_in)
-    d_pad = 64 if 0 < d < 64 else d  # TPU gather fast path (PERF_NOTES.md)
+    # TPU gather fast path is gated on ~256 leading BYTES (PERF_NOTES.md)
+    min_lead = max(1, 256 // jnp.dtype(src_flat.dtype).itemsize)
+    d_pad = min_lead if 0 < d < min_lead else d
     if d_pad != d:
         s = jnp.concatenate([s, jnp.zeros((d_pad - d, n_in), s.dtype)], axis=0)
     g = jnp.take(s, idx.reshape(-1), axis=1).reshape(d_pad, n_out, k)
@@ -196,7 +198,9 @@ def transposed_quad_gather_blend(
     k_t = idx_t.shape[1]
     d = b * c
     g2 = cot.transpose(0, 2, 1).reshape(d, n_out)
-    d_pad = 64 if 0 < d < 64 else d  # TPU gather fast path (PERF_NOTES.md)
+    # TPU gather fast path is gated on ~256 leading BYTES (PERF_NOTES.md)
+    min_lead = max(1, 256 // jnp.dtype(cot.dtype).itemsize)
+    d_pad = min_lead if 0 < d < min_lead else d
     if d_pad != d:
         g2 = jnp.concatenate([g2, jnp.zeros((d_pad - d, n_out), g2.dtype)], axis=0)
     g = jnp.take(g2, idx_t.reshape(-1), axis=1).reshape(d_pad, n_in, k_t)
