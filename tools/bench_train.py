@@ -20,7 +20,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-PEAK_TFLOPS = 19.7  # measured 8192^3 bf16 matmul on this chip
+# Measured 16384^3 bf16 matmul, 8 reps chained in one jit with a FULL data
+# dependency (each product feeds the next matmul — a partial dependency like
+# c[0,0] lets XLA dead-code the matmul body and reads absurd rates).  85% of
+# the chip's 197 TFLOP/s theoretical peak.  Round 1 recorded 19.7 here; that
+# measurement was dispatch-bound and under-read the MXU by 8.5x.
+PEAK_TFLOPS = 168.0
 
 
 def timed(fn, inputs, reduce_out):
