@@ -23,26 +23,39 @@ def main():
     ap.add_argument("--batches", default="32,64,96")
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--modes", default="bf16,bf16_merge")
+    ap.add_argument(
+        "--model",
+        default="oneshot",
+        choices=("oneshot", "iterative"),
+        help="iterative = the reference's canonical eval protocol (iter 2)",
+    )
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    from omnifusion_tpu.models import SphericalFusion
+    from omnifusion_tpu.models import SphericalFusion, SphericalFusionIterative
     from omnifusion_tpu.projection import ProjectionSpec
 
     spec = ProjectionSpec.create((512, 1024), (128, 128), (80, 80), 4)
     rgb1 = jnp.zeros((1, 512, 1024, 3), jnp.float32)
-    variables = jax.jit(
-        lambda: SphericalFusion(spec=spec).init(jax.random.PRNGKey(0), rgb1)
-    )()
+
+    if args.model == "iterative":
+        def make(**kw):
+            m = SphericalFusionIterative(spec=spec, num_iters=2, **kw)
+            return m, (lambda v, x: m.apply(v, x, train=False)[-1])
+    else:
+        def make(**kw):
+            m = SphericalFusion(spec=spec, **kw)
+            return m, (lambda v, x: m.apply(v, x, train=False))
+
+    m0, _ = make()
+    variables = jax.jit(lambda: m0.init(jax.random.PRNGKey(0), rgb1))()
 
     models = {
-        "f32": SphericalFusion(spec=spec),
-        "bf16": SphericalFusion(spec=spec, dtype=jnp.bfloat16),
-        "bf16_merge": SphericalFusion(
-            spec=spec, dtype=jnp.bfloat16, merge_dtype=jnp.bfloat16
-        ),
+        "f32": make(),
+        "bf16": make(dtype=jnp.bfloat16),
+        "bf16_merge": make(dtype=jnp.bfloat16, merge_dtype=jnp.bfloat16),
     }
 
     for b in (int(x) for x in args.batches.split(",")):
@@ -53,8 +66,8 @@ def main():
             for i in range(args.iters)
         ]
         for mode in args.modes.split(","):
-            model = models[mode]
-            fwd = jax.jit(lambda v, x: model.apply(v, x, train=False).sum())
+            _, apply = models[mode]
+            fwd = jax.jit(lambda v, x: apply(v, x).sum())
             float(fwd(variables, xs[0]))
             t0 = time.perf_counter()
             for x in xs:
