@@ -282,3 +282,26 @@ def test_capped_merge_gradient_matches_autodiff():
         )
     )(src)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-5, atol=1e-6)
+
+
+def test_bf16_quad_gather_matches_f32_within_half_precision():
+    """The dtype-aware (byte-gated) pad path: a bf16 gather-blend must track
+    the f32 result within bf16 rounding at every leading-dim regime."""
+    from omnifusion_tpu.ops.sparse_blend import quad_gather_blend
+
+    spec = _spec((64, 128), 16, 80, 4)
+    grids = build_pers2equi_grids(spec)
+    rng = np.random.default_rng(13)
+    p = spec.n_patches
+    for b, c in [(1, 1), (2, 3), (8, 8)]:  # d = 1 (pad 32), 6 (pad 32), 64
+        src = rng.random((b, p * 16 * 16, c), dtype=np.float32)
+        f32 = np.asarray(
+            quad_gather_blend(jnp.asarray(src), grids.idx, grids.w4, spec.patch_w)
+        )
+        bf16 = np.asarray(
+            quad_gather_blend(
+                jnp.asarray(src, jnp.bfloat16), grids.idx, grids.w4, spec.patch_w
+            ),
+            np.float32,
+        )
+        np.testing.assert_allclose(bf16, f32, atol=0.03, err_msg=f"b={b} c={c}")
