@@ -46,6 +46,10 @@ class SphericalFusionSeg(nn.Module):
         spec_q = spec.with_patch_scale(4)
         grids_q = build_equi2pers_grids(spec_q)
 
+        # cast BEFORE the projection when running mixed precision (the
+        # bandwidth-bound equi2pers gather then moves half the bytes)
+        if self.dtype is not None:
+            rgb = rgb.astype(self.dtype)
         patches = equi2pers(rgb, grids_hr)
         centers = grids_q.centers
         geo = jnp.concatenate([centers, jnp.ones((p, 1), jnp.float32), centers], -1)
