@@ -111,10 +111,10 @@ def main():
         if remaining < 30:
             break
         # leave headroom so the final failure line still prints in-budget;
-        # the first attempt gets most of the budget (a healthy-but-cold
-        # compile needs it), later attempts are capped so a dead tunnel
-        # still gets several retries
-        cap = (remaining - 60) if attempt == 1 else max(240.0, budget / 3)
+        # the first attempt gets enough for a healthy-but-cold compile while
+        # ALWAYS reserving ~280s so a hung attempt 1 still leaves one warm
+        # retry (the tunnel's failure mode is a hang, not a fast error)
+        cap = max(remaining - 280, 480.0) if attempt == 1 else max(240.0, budget / 3)
         per_attempt = min(remaining - 15, max(cap, 60.0))
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker"],
@@ -141,8 +141,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "panoramas/sec/chip (512x1024 ERP, fov 80, nrows 4, one-shot)"
-                " — TPU UNREACHABLE, all attempts failed",
+                "metric": "panoramas/sec/chip (512x1024 ERP, fov 80, nrows 4, "
+                "one-shot, bf16 trunk) — TPU UNREACHABLE, all attempts failed",
                 "value": 0.0,
                 "unit": "panoramas/sec",
                 "vs_baseline": 0.0,

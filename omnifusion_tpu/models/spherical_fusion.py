@@ -167,9 +167,9 @@ def confidence_merge(pred, conf, p2e_grids, use_confidence: bool = True, dtype=N
     (spherical_model.py:304-311): pers2equi(pred*conf) / pers2equi(conf).
 
     pred*conf and conf are packed into one 2-channel pers2equi call: the
-    gather's leading (batch*channel) dim doubles, which matters because the
-    TPU gather switches to a vectorized fast path once that dim reaches 64
-    (see PERF_NOTES.md).
+    gather's leading (batch*channel) dim doubles, amortizing the TPU
+    gather's per-index cost and helping it reach its byte-gated vectorized
+    fast path (see PERF_NOTES.md and ops.sparse_blend._pad_leading).
 
     dtype: precision of the merge GATHER (default f32 — this is the final
     depth, so bf16 here costs ~0.2-0.4% depth error and is an explicit

@@ -17,6 +17,20 @@ import jax
 import jax.numpy as jnp
 
 
+def _pad_leading(s: jnp.ndarray, min_bytes: int):
+    """Zero-pad the leading dim of (D, N) up to ``min_bytes`` of leading
+    bytes — the TPU gather's vectorized fast path is gated on leading-dim
+    BYTES, not elements (PERF_NOTES machine calibration: ~256 B of total
+    leading dim; quad-packed operands carry 4 blocks, so each block needs
+    64 B).  Returns (padded, d_pad)."""
+    d = s.shape[0]
+    min_lead = max(1, min_bytes // jnp.dtype(s.dtype).itemsize)
+    if 0 < d < min_lead:
+        s = jnp.concatenate([s, jnp.zeros((min_lead - d, s.shape[1]), s.dtype)], axis=0)
+        return s, min_lead
+    return s, d
+
+
 def quad_gather_blend(
     src_flat: jnp.ndarray, idx: jnp.ndarray, w4: jnp.ndarray, row_stride: int
 ) -> jnp.ndarray:
@@ -44,17 +58,14 @@ def quad_gather_blend(
     # channels ride in the batch dim: minor dims stay tiny and fusable
     d = b * c
     s = src_flat.transpose(0, 2, 1).reshape(d, n_in)
-    # XLA's TPU gather switches to a vectorized fast path once the leading
-    # (batched) dim reaches 64 (~10x faster per element, flat cost in the
-    # leading dim — PERF_NOTES.md).  The 4 rolled quad copies ride the
-    # LEADING axis, so the fast path engages at d >= 16 with every fetched
-    # element useful (the round-1 layout kept the quad minor-most and padded
-    # d to 64, wasting 75% of the fetch at batch 8).
-    # the gather fast path is gated on leading-dim BYTES (64): 16 f32 / 32 bf16
-    min_lead = max(1, 64 // jnp.dtype(src_flat.dtype).itemsize)
-    d_pad = min_lead if 0 < d < min_lead else d
-    if d_pad != d:
-        s = jnp.concatenate([s, jnp.zeros((d_pad - d, n_in), s.dtype)], axis=0)
+    # XLA's TPU gather switches to a vectorized fast path once the operand's
+    # leading dim reaches ~256 BYTES (~10x faster per element — PERF_NOTES
+    # machine calibration; the gate is bytes, not elements).  The 4 rolled
+    # quad copies ride the LEADING axis, so each block only needs 64 B
+    # (16 f32 / 32 bf16) with every fetched element useful (the round-1
+    # layout kept the quad minor-most and padded d to 64 elements, wasting
+    # 75% of the fetch at batch 8).
+    s, d_pad = _pad_leading(s, 64)
     packed = jnp.concatenate(
         [
             s,
@@ -106,10 +117,7 @@ def capped_quad_gather_blend(
     d = b * c
     s = src_flat.transpose(0, 2, 1).reshape(d, n_in)
     # leading-axis fast path, byte-gated (see quad_gather_blend)
-    min_lead = max(1, 64 // jnp.dtype(src_flat.dtype).itemsize)
-    d_pad = min_lead if 0 < d < min_lead else d
-    if d_pad != d:
-        s = jnp.concatenate([s, jnp.zeros((d_pad - d, n_in), s.dtype)], axis=0)
+    s, d_pad = _pad_leading(s, 64)
     packed = jnp.concatenate(
         [
             s,
@@ -149,11 +157,8 @@ def gather_blend(src_flat: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray) -> jnp
     n_out, k = idx.shape
     d = b * c
     s = src_flat.transpose(0, 2, 1).reshape(d, n_in)
-    # TPU gather fast path is gated on ~256 leading BYTES (PERF_NOTES.md)
-    min_lead = max(1, 256 // jnp.dtype(src_flat.dtype).itemsize)
-    d_pad = min_lead if 0 < d < min_lead else d
-    if d_pad != d:
-        s = jnp.concatenate([s, jnp.zeros((d_pad - d, n_in), s.dtype)], axis=0)
+    # no quad packing here: the operand alone must reach the ~256-byte gate
+    s, d_pad = _pad_leading(s, 256)
     g = jnp.take(s, idx.reshape(-1), axis=1).reshape(d_pad, n_out, k)
     out = jnp.einsum("dnk,nk->dn", g, w.astype(src_flat.dtype))
     return out[:d].reshape(b, c, n_out).transpose(0, 2, 1)
@@ -198,11 +203,8 @@ def transposed_quad_gather_blend(
     k_t = idx_t.shape[1]
     d = b * c
     g2 = cot.transpose(0, 2, 1).reshape(d, n_out)
-    # TPU gather fast path is gated on ~256 leading BYTES (PERF_NOTES.md)
-    min_lead = max(1, 256 // jnp.dtype(cot.dtype).itemsize)
-    d_pad = min_lead if 0 < d < min_lead else d
-    if d_pad != d:
-        g2 = jnp.concatenate([g2, jnp.zeros((d_pad - d, n_out), g2.dtype)], axis=0)
+    # no quad packing here: the operand alone must reach the ~256-byte gate
+    g2, d_pad = _pad_leading(g2, 256)
     g = jnp.take(g2, idx_t.reshape(-1), axis=1).reshape(d_pad, n_in, k_t)
     blocks = jnp.einsum("dnk,nkq->qdn", g, w_t.astype(cot.dtype))  # (4, D, N_in)
 

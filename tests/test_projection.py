@@ -305,3 +305,47 @@ def test_bf16_quad_gather_matches_f32_within_half_precision():
             np.float32,
         )
         np.testing.assert_allclose(bf16, f32, atol=0.03, err_msg=f"b={b} c={c}")
+
+
+def test_bf16_capped_and_backward_match_f32():
+    """Byte-gated pads in the capped forward and the transposed backward:
+    bf16 must track f32 within rounding (the bf16 training path)."""
+    spec = _spec((64, 128), 16, 80, 4)
+    grids = build_pers2equi_grids(spec)
+    assert grids.capped is not None
+    rng = np.random.default_rng(14)
+    p = spec.n_patches
+    src = rng.random((2, p, 16, 16, 3), dtype=np.float32)
+    cot = rng.random((2, 64, 128, 3), dtype=np.float32)
+
+    from omnifusion_tpu.projection.ops import pers2equi
+
+    f32 = np.asarray(pers2equi(jnp.asarray(src), grids))
+    b16 = np.asarray(pers2equi(jnp.asarray(src, jnp.bfloat16), grids), np.float32)
+    np.testing.assert_allclose(b16, f32, atol=0.03)
+
+    def loss(s, dtype):
+        return jnp.sum(
+            pers2equi(s.astype(dtype), grids).astype(jnp.float32) * jnp.asarray(cot)
+        )
+
+    gf = jax.grad(lambda s: loss(s, jnp.float32))(jnp.asarray(src))
+    gb = jax.grad(lambda s: loss(s, jnp.bfloat16))(jnp.asarray(src))
+    # pole-patch border quads absorb clamp-folded weights with fan-in up to
+    # ~2200, so the bf16 error scales with the gradient magnitude there
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gf), rtol=0.05, atol=0.05)
+
+
+def test_bf16_flat_gather_blend_matches_f32():
+    from omnifusion_tpu.ops.sparse_blend import gather_blend
+
+    rng = np.random.default_rng(15)
+    src = rng.random((2, 64, 3), dtype=np.float32)
+    idx = rng.integers(0, 64, (40, 2)).astype(np.int32)
+    w = rng.random((40, 2), dtype=np.float32)
+    f32 = np.asarray(gather_blend(jnp.asarray(src), jnp.asarray(idx), jnp.asarray(w)))
+    b16 = np.asarray(
+        gather_blend(jnp.asarray(src, jnp.bfloat16), jnp.asarray(idx), jnp.asarray(w)),
+        np.float32,
+    )
+    np.testing.assert_allclose(b16, f32, atol=0.03)

@@ -59,19 +59,29 @@ def main():
     }
 
     for b in (int(x) for x in args.batches.split(",")):
-        xs = [
-            jnp.asarray(
-                np.random.default_rng(i).random((b, 512, 1024, 3), dtype=np.float32)
-            )
-            for i in range(args.iters)
-        ]
+        x0 = jnp.asarray(
+            np.random.default_rng(0).random((b, 512, 1024, 3), dtype=np.float32)
+        )
         for mode in args.modes.split(","):
             _, apply = models[mode]
-            fwd = jax.jit(lambda v, x: apply(v, x).sum())
-            float(fwd(variables, xs[0]))
+
+            # chain the timed forwards inside ONE jit with a data dependency
+            # (same protocol as bench.py): the runtime elides repeated
+            # identical dispatches, so a plain python loop over pre-built
+            # inputs replays the warm-up dispatch for free and inflates
+            # throughput ~iters/(iters-1)
+            @jax.jit
+            def run(v, x, seed, _apply=apply):
+                def step(s, _):
+                    out = _apply(v, s).sum()
+                    return x * (seed + 1e-12 * out), out
+
+                _, outs = jax.lax.scan(step, x * seed, None, length=args.iters)
+                return outs.sum()
+
+            float(run(variables, x0, jnp.float32(1.0)))  # compile + warm-up
             t0 = time.perf_counter()
-            for x in xs:
-                float(fwd(variables, x))
+            float(run(variables, x0, jnp.float32(1.001)))
             dt = (time.perf_counter() - t0) / args.iters
             print(
                 f"b={b:3d} {mode:10s} {dt*1e3:8.2f} ms  {b/dt:8.1f} panos/s",
