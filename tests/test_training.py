@@ -63,6 +63,47 @@ def test_train_step_decreases_loss():
     assert int(state.step) == 5
 
 
+def test_overfit_synthetic_scene_converges():
+    """End-to-end convergence evidence: the full training stack (model,
+    BerHu loss, AdamW, BN stat updates) overfits a structured synthetic
+    scene — depth a smooth function of sphere coords, rgb a deterministic
+    function of depth — driving abs_rel from ~0.87 at init to <0.3 in 60
+    steps (calibrated: reaches ~0.13; threshold leaves margin for platform
+    jitter).  This is the strongest training validation available offline
+    (no dataset ships in this environment, BASELINE.md)."""
+    h, w = TINY.erp_h, TINY.erp_w
+    vv, uu = np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, w), indexing="ij")
+    d = 2.0 + 1.2 * np.sin(2 * np.pi * uu) * np.sin(np.pi * vv) + 0.8 * vv
+    batch = {
+        "rgb": jnp.asarray(
+            np.stack([d / 4.0, np.sin(d), np.cos(d)], axis=-1)[None].astype(np.float32)
+        ),
+        "depth": jnp.asarray(d[None, :, :, None].astype(np.float32)),
+        "mask": jnp.ones((1, h, w, 1), jnp.float32),
+    }
+
+    model = SphericalFusion(spec=TINY)
+    tx = make_optimizer(lr=1e-3)
+    state = create_train_state(model, jax.random.PRNGKey(0), batch["rgb"], tx)
+    step = make_train_step(model, donate=False)
+
+    from omnifusion_tpu.evaluation.metrics import abs_rel_error
+
+    def abs_rel(st):
+        pred = model.apply(
+            {"params": st.params, "batch_stats": st.batch_stats}, batch["rgb"], train=False
+        )
+        return float(abs_rel_error(pred, batch["depth"], batch["mask"]))
+
+    init = abs_rel(state)
+    for _ in range(60):
+        state, metrics = step(state, batch)
+    final = abs_rel(state)
+    assert np.isfinite(float(metrics["loss"]))
+    assert final < 0.3, (init, final)
+    assert final < init / 3, (init, final)
+
+
 def test_train_step_iterative_model():
     model = SphericalFusionIterative(spec=TINY, num_iters=2)
     batch = _batch(1)
