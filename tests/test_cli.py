@@ -72,6 +72,47 @@ def test_eval_cli_iterative_random_init(tmp_path):
     assert np.isfinite(avg["abs_rel"])
 
 
+def test_infer_cli(tmp_path):
+    """GT-free inference sweep (cli/infer.py): panorama images in, per-image
+    raw depth + colorized PNG out; 3 images at batch 2 exercises the padded
+    short final chunk."""
+    import argparse
+
+    import cv2
+
+    from omnifusion_tpu.cli.common import add_common_args
+    from omnifusion_tpu.cli.infer import run_infer
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        cv2.imwrite(
+            str(img_dir / f"pano{i}.png"),
+            (rng.random((64, 128, 3)) * 255).astype(np.uint8),
+        )
+
+    parser = argparse.ArgumentParser()
+    add_common_args(parser, train=False)
+    parser.add_argument("--input", required=True)
+    args = parser.parse_args(
+        [
+            "--erp_size", "64,128",
+            "--patchsize", "16",
+            "--batch", "2",
+            "--save_path", str(tmp_path / "out"),
+            "--input", str(img_dir),
+        ]
+    )
+    written = run_infer(args)
+    assert len(written) == 3
+    for w in written:
+        d = np.load(w)
+        assert d.shape == (64, 128)
+        assert np.isfinite(d).all() and (d >= 0).all()
+    assert (tmp_path / "out" / "pano0_depth.png").exists()
+
+
 def test_train_cli_on_mesh(tmp_path):
     """Multi-chip training reachable from the CLI (VERDICT round-1 missing #4):
     explicit --mesh 4,2 over the 8 virtual CPU devices, batch sharded over
