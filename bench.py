@@ -36,12 +36,16 @@ ITERS = 4
 def worker():
     import jax
 
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".dryrun_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # A crashed attempt (signal exit, e.g. SIGILL from an AOT cache entry
+    # compiled for a different host CPU) makes the orchestrator set this:
+    # compile fresh instead of reloading the poisoned cache.
+    if not os.environ.get("OMNIFUSION_BENCH_NO_CACHE"):
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".dryrun_cache")
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
 
     import jax.numpy as jnp
     import numpy as np
@@ -105,6 +109,7 @@ def main():
     deadline = time.time() + budget
     attempt = 0
     last_err = "no attempt ran"
+    no_cache = False
     while True:
         attempt += 1
         remaining = deadline - time.time()
@@ -115,12 +120,18 @@ def main():
         # ALWAYS reserving ~280s so a hung attempt 1 still leaves one warm
         # retry (the tunnel's failure mode is a hang, not a fast error)
         cap = max(remaining - 280, 480.0) if attempt == 1 else max(240.0, budget / 3)
+        if no_cache:  # fresh compile needs the cold-compile budget
+            cap = max(cap, remaining - 45)
         per_attempt = min(remaining - 15, max(cap, 60.0))
+        env = dict(os.environ)
+        if no_cache:
+            env["OMNIFUSION_BENCH_NO_CACHE"] = "1"
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker"],
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             text=True,
+            env=env,
         )
         try:
             out, err = proc.communicate(timeout=per_attempt)
@@ -136,6 +147,10 @@ def main():
             print(lines[-1], flush=True)
             return
         last_err = f"attempt {attempt} rc={proc.returncode}: {err.strip()[-300:]}"
+        if proc.returncode < 0:
+            # killed by a signal: suspect a poisoned AOT cache entry
+            # (CPU-feature mismatch across hosts) — retry with a fresh compile
+            no_cache = True
         print(f"# {last_err}; retrying", file=sys.stderr, flush=True)
         time.sleep(min(20.0 * attempt, max(0.0, deadline - time.time() - 30)))
     print(
