@@ -36,16 +36,12 @@ ITERS = 4
 def worker():
     import jax
 
-    # A crashed attempt (signal exit, e.g. SIGILL from an AOT cache entry
-    # compiled for a different host CPU) makes the orchestrator set this:
-    # compile fresh instead of reloading the poisoned cache.
-    if not os.environ.get("OMNIFUSION_BENCH_NO_CACHE"):
-        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".dryrun_cache")
-        try:
-            jax.config.update("jax_compilation_cache_dir", cache)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        except Exception:
-            pass
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".dryrun_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     import jax.numpy as jnp
     import numpy as np
@@ -109,7 +105,7 @@ def main():
     deadline = time.time() + budget
     attempt = 0
     last_err = "no attempt ran"
-    no_cache = False
+    cold_retry = False
     while True:
         attempt += 1
         remaining = deadline - time.time()
@@ -119,19 +115,17 @@ def main():
         # the first attempt gets enough for a healthy-but-cold compile while
         # ALWAYS reserving ~280s so a hung attempt 1 still leaves one warm
         # retry (the tunnel's failure mode is a hang, not a fast error)
-        cap = max(remaining - 280, 480.0) if attempt == 1 else max(240.0, budget / 3)
-        if no_cache:  # fresh compile needs the cold-compile budget
-            cap = max(cap, remaining - 45)
+        if attempt == 1 or cold_retry:
+            cap = max(remaining - 280, 480.0)
+            cold_retry = False
+        else:
+            cap = max(240.0, budget / 3)
         per_attempt = min(remaining - 15, max(cap, 60.0))
-        env = dict(os.environ)
-        if no_cache:
-            env["OMNIFUSION_BENCH_NO_CACHE"] = "1"
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker"],
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             text=True,
-            env=env,
         )
         try:
             out, err = proc.communicate(timeout=per_attempt)
@@ -148,9 +142,16 @@ def main():
             return
         last_err = f"attempt {attempt} rc={proc.returncode}: {err.strip()[-300:]}"
         if proc.returncode < 0:
-            # killed by a signal: suspect a poisoned AOT cache entry
-            # (CPU-feature mismatch across hosts) — retry with a fresh compile
-            no_cache = True
+            # killed by a signal: suspect a poisoned AOT cache entry (compiled
+            # on a host with different CPU features -> SIGILL on load).  Purge
+            # the cache so the next attempt repairs it with a fresh compile
+            # (which then re-warms the cache for all later attempts/runs),
+            # and grant that attempt the cold-compile budget.
+            import shutil
+
+            cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".dryrun_cache")
+            shutil.rmtree(cache, ignore_errors=True)
+            cold_retry = True
         print(f"# {last_err}; retrying", file=sys.stderr, flush=True)
         time.sleep(min(20.0 * attempt, max(0.0, deadline - time.time() - 30)))
     print(

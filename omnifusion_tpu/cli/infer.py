@@ -38,26 +38,57 @@ def list_inputs(inp: str) -> list[str]:
     elif os.path.isfile(inp):
         paths = [inp]
     else:
-        paths = sorted(glob.glob(inp))
+        paths = [
+            p
+            for p in sorted(glob.glob(inp))
+            if os.path.isfile(p) and p.lower().endswith(_IMAGE_EXTS)
+        ]
     if not paths:
         raise FileNotFoundError(f"no input images match {inp!r}")
     return paths
 
 
+def output_stems(paths: list[str], save_path: str) -> list[str]:
+    """Collision-safe output stems: basename, disambiguated with a counter
+    when a glob matches duplicate basenames in different directories."""
+    stems, used = [], {}
+    for p in paths:
+        base = os.path.splitext(os.path.basename(p))[0]
+        n = used.get(base, 0)
+        used[base] = n + 1
+        stems.append(os.path.join(save_path, base if n == 0 else f"{base}_{n}"))
+    return stems
+
+
 def run_infer(args) -> list[str]:
+    import contextlib
+
     import cv2
     import jax
     import jax.numpy as jnp
 
+    from omnifusion_tpu.cli.common import build_mesh
     from omnifusion_tpu.cli.test import load_variables
+    from omnifusion_tpu.data.datasets import _read_rgb
     from omnifusion_tpu.utils import colorize, ply
 
     model, spec = build_model(args)
     variables = load_variables(args, model, spec)
     paths = list_inputs(args.input)
+    stems = output_stems(paths, args.save_path)
     os.makedirs(args.save_path, exist_ok=True)
 
     confidence = True if args.model == "oneshot" else args.confidence
+
+    mesh = build_mesh(args)
+    batch_shard = None
+    mesh_ctx = contextlib.nullcontext()
+    if mesh is not None:
+        from omnifusion_tpu.parallel import batch_sharding
+
+        batch_shard = batch_sharding(mesh)
+        mesh_ctx = jax.set_mesh(mesh)
+        print(f"## mesh: {dict(mesh.shape)}")
 
     @jax.jit
     def forward(rgb):
@@ -67,41 +98,38 @@ def run_infer(args) -> list[str]:
         return pred
 
     written = []
-    for start in range(0, len(paths), args.batch):
-        chunk = paths[start : start + args.batch]
-        frames = []
-        for p in chunk:
-            img = cv2.imread(p)
-            if img is None:
-                raise FileNotFoundError(f"cannot read image {p!r}")
-            img = cv2.resize(
-                img, (spec.erp_w, spec.erp_h), interpolation=cv2.INTER_AREA
-            )
-            frames.append(img.astype(np.float32) / 255.0)
-        batch = np.stack(frames)
-        # keep the jit shape stable across the final short chunk
-        pad = args.batch - len(chunk)
-        if pad:
-            batch = np.concatenate([batch, np.zeros_like(batch[:1]).repeat(pad, 0)])
-        pred = np.asarray(forward(jnp.asarray(batch)))[: len(chunk)]
+    with mesh_ctx:
+        for start in range(0, len(paths), args.batch):
+            chunk = paths[start : start + args.batch]
+            # same read+resize convention as the training loaders
+            frames = [
+                _read_rgb(p, (spec.erp_w, spec.erp_h)).astype(np.float32) / 255.0
+                for p in chunk
+            ]
+            batch = np.stack(frames)
+            # keep the jit shape stable across the final short chunk
+            pad = args.batch - len(chunk)
+            if pad:
+                batch = np.concatenate([batch, np.zeros_like(batch[:1]).repeat(pad, 0)])
+            jb = jnp.asarray(batch)
+            if batch_shard is not None and jb.shape[0] % dict(mesh.shape)["data"] == 0:
+                jb = jax.device_put(jb, batch_shard)
+            pred = np.asarray(forward(jb))[: len(chunk)]
 
-        for p, frame, depth in zip(chunk, frames, pred):
-            depth = depth[..., 0] if depth.ndim == 3 else depth
-            stem = os.path.join(
-                args.save_path, os.path.splitext(os.path.basename(p))[0]
-            )
-            np.save(stem + "_depth.npy", depth.astype(np.float32))
-            cv2.imwrite(stem + "_depth.png", colorize(depth, vmin=0)[..., ::-1])
-            if args.save_ply:
-                xyz, colors = ply.depth_to_pointcloud(depth, frame[..., ::-1])
-                ply.write_ply(
-                    stem + ".ply",
-                    [xyz, colors],
-                    ["x", "y", "z", "red", "green", "blue"],
-                )
-            written.append(stem + "_depth.npy")
-            print(f"{p} -> {stem}_depth.npy  "
-                  f"[{depth.min():.2f}, {depth.max():.2f}] m")
+            for stem, frame, depth in zip(stems[start : start + args.batch], frames, pred):
+                depth = depth[..., 0] if depth.ndim == 3 else depth
+                np.save(stem + "_depth.npy", depth.astype(np.float32))
+                cv2.imwrite(stem + "_depth.png", colorize(depth, vmin=0)[..., ::-1])
+                if args.save_ply:
+                    xyz, colors = ply.depth_to_pointcloud(depth, frame[..., ::-1])
+                    ply.write_ply(
+                        stem + ".ply",
+                        [xyz, colors],
+                        ["x", "y", "z", "red", "green", "blue"],
+                    )
+                written.append(stem + "_depth.npy")
+                print(f"-> {stem}_depth.npy  "
+                      f"[{depth.min():.2f}, {depth.max():.2f}] m")
     return written
 
 

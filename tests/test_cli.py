@@ -72,6 +72,23 @@ def test_eval_cli_iterative_random_init(tmp_path):
     assert np.isfinite(avg["abs_rel"])
 
 
+def test_infer_input_listing(tmp_path):
+    """Globs skip non-images/directories; duplicate basenames get
+    disambiguated output stems instead of silently overwriting."""
+    import os
+
+    from omnifusion_tpu.cli.infer import list_inputs, output_stems
+
+    for d in ("a", "b"):
+        (tmp_path / d).mkdir()
+        (tmp_path / d / "pano.png").write_bytes(b"x")
+        (tmp_path / d / "notes.txt").write_bytes(b"x")
+    paths = list_inputs(str(tmp_path / "*" / "*"))
+    assert [os.path.basename(p) for p in paths] == ["pano.png", "pano.png"]
+    stems = output_stems(paths, "/out")
+    assert stems == ["/out/pano", "/out/pano_1"]
+
+
 def test_infer_cli(tmp_path):
     """GT-free inference sweep (cli/infer.py): panorama images in, per-image
     raw depth + colorized PNG out; 3 images at batch 2 exercises the padded
