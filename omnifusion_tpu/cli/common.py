@@ -20,13 +20,10 @@ def apply_runtime_env():
     plat = os.environ.get("JAX_PLATFORMS")
     if plat:
         jax.config.update("jax_platforms", plat)
+    from omnifusion_tpu.utils.compile_cache import enable_persistent_cache
+
     default_cache = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
-    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", default_cache)
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    enable_persistent_cache(os.environ.get("JAX_COMPILATION_CACHE_DIR", default_cache))
 
 
 def pair_arg(value: str) -> tuple[int, int]:

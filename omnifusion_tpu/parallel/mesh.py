@@ -39,7 +39,14 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_model
-    assert n_data * n_model == len(devices), (n_data, n_model, len(devices))
+    if n_data * n_model != len(devices):
+        raise ValueError(
+            f"mesh shape data={n_data} x model={n_model} needs "
+            f"{n_data * n_model} devices but {len(devices)} are available "
+            f"(platform={jax.default_backend()!r}). On CPU, set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N before jax "
+            "initializes (see tests/conftest.py)."
+        )
     return jax.make_mesh(
         (n_data, n_model),
         (DATA_AXIS, MODEL_AXIS),

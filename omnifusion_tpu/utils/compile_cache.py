@@ -1,0 +1,51 @@
+"""Host-keyed persistent-compile-cache directory.
+
+The working tree (and its cache dirs) survives across sessions that may run
+on DIFFERENT host machines.  XLA:CPU caches AOT-compiled machine code whose
+cache key does NOT include the host CPU features, so an entry compiled on
+another machine loads here with ``cpu_aot_loader`` feature-mismatch errors
+and can SIGILL mid-run (observed round 2: the committed dryrun cache killed
+bench attempts).  Keying the cache directory by a fingerprint of the host
+CPU makes foreign entries unreachable: a new host simply starts cold.
+
+Deliberately jax-free so it can be imported before jax initializes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+
+def _host_fingerprint() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            text = f.read()
+        flags = next(
+            (l for l in text.splitlines() if l.startswith(("flags", "Features"))), text[:4096]
+        )
+    except OSError:
+        import platform
+
+        flags = f"{platform.machine()} {platform.processor()}"
+    return hashlib.sha256(flags.encode()).hexdigest()[:12]
+
+
+def host_cache_dir(base: str) -> str:
+    """``base/host-<cpu-fingerprint>``, created if missing."""
+    path = os.path.join(base, f"host-{_host_fingerprint()}")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def enable_persistent_cache(base: str) -> str:
+    """Point jax's persistent compilation cache at the host-keyed dir."""
+    import jax
+
+    path = host_cache_dir(base)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    return path

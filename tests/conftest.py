@@ -24,10 +24,11 @@ assert jax.default_backend() == "cpu", jax.default_backend()
 assert jax.device_count() == 8, jax.device_count()
 
 # persistent compilation cache: repeated suite runs skip XLA recompiles
-# (kept inside the repo so it survives environment resets)
-_cache = str(pathlib.Path(__file__).parent.parent / ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# (kept inside the repo so it survives environment resets; host-keyed so a
+# session on a different machine never loads foreign CPU AOT code)
+from omnifusion_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache(str(pathlib.Path(__file__).parent.parent / ".jax_cache"))
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
