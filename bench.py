@@ -97,16 +97,22 @@ def worker():
         return BATCH * ITERS / (time.perf_counter() - t0)
 
     # headline = bf16 compute, the TPU-native inference dtype: f32 params,
-    # f32 BN statistics and softmax, f32 confidence merge — only the trunk
-    # matmuls/convs and the bandwidth-bound equi2pers gather run bf16.
+    # f32 BN statistics and softmax — trunk matmuls/convs, the equi2pers
+    # gather AND the confidence-merge gather run bf16 (merge normalization
+    # still f32).  bf16_merge was promoted in round 3 after quantifying it
+    # in eval-metric terms (tools/eval_merge_dtype.py): delta abs_rel
+    # +2.7e-4 (256x512) / -1.6e-4 (flagship) vs f32 merge — inside the
+    # project's 1e-3 parity bar — for +10.5% throughput (PERF_NOTES.md).
     # (The f32 measurement lives in PERF_NOTES via tools/bench_components.py;
     # one model here keeps a cold-compile attempt inside the retry budget.)
-    bf16 = measure(SphericalFusion(spec=spec, dtype=jnp.bfloat16))
+    bf16 = measure(
+        SphericalFusion(spec=spec, dtype=jnp.bfloat16, merge_dtype=jnp.bfloat16)
+    )
     print(
         json.dumps(
             {
                 "metric": "panoramas/sec/chip (512x1024 ERP, fov 80, nrows 4, "
-                "one-shot, bf16 trunk)",
+                "one-shot, bf16 trunk+merge)",
                 "value": round(bf16, 2),
                 "unit": "panoramas/sec",
                 "vs_baseline": round(bf16 / REFERENCE_PANOS_PER_SEC, 2),
@@ -201,7 +207,7 @@ def main():
         json.dumps(
             {
                 "metric": "panoramas/sec/chip (512x1024 ERP, fov 80, nrows 4, "
-                "one-shot, bf16 trunk) — TPU UNREACHABLE, all attempts failed",
+                "one-shot, bf16 trunk+merge) — TPU UNREACHABLE, all attempts failed",
                 "value": 0.0,
                 "unit": "panoramas/sec",
                 "vs_baseline": 0.0,

@@ -67,6 +67,12 @@ def add_common_args(parser: argparse.ArgumentParser, train: bool):
         "train_erp_depth.py:143), or 'none' (single device, no mesh)",
     )
     parser.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    parser.add_argument(
+        "--bf16_merge",
+        action="store_true",
+        help="bfloat16 confidence-merge gather too (+10.5%% throughput; "
+        "delta abs_rel < 3e-4 — tools/eval_merge_dtype.py)",
+    )
     parser.add_argument("--remat", action="store_true", help="rematerialize the encoder (saves HBM)")
     parser.add_argument(
         "--no_transformer",
@@ -102,23 +108,42 @@ def build_mesh(args):
     (train_erp_depth.py:143) — shrunk to the largest count that divides the
     batch (GSPMD shards evenly; DataParallel scattered unevenly).
     """
-    import math
-
     import jax
 
     from omnifusion_tpu.parallel import make_mesh
 
+    n_devices = len(jax.devices())
     spec = getattr(args, "mesh", "auto") or "auto"
-    if spec == "none" or (spec == "auto" and len(jax.devices()) == 1):
+    if spec == "none" or (spec == "auto" and n_devices == 1):
         return None
     if spec == "auto":
-        n_data = math.gcd(int(getattr(args, "batch", 0) or 0), len(jax.devices()))
+        batch = int(getattr(args, "batch", 0) or 0)
+        n_data = max(
+            (d for d in range(1, n_devices + 1) if batch % d == 0), default=1
+        )
         if n_data <= 1:
             return None
+        if n_data < n_devices:
+            print(
+                f"## mesh auto: data={n_data} of {n_devices} devices "
+                f"(largest divisor of batch {batch}); pass --mesh to override"
+            )
         return make_mesh(n_data=n_data, n_model=1, devices=jax.devices()[:n_data])
-    parts = [int(p) for p in spec.split(",") if p.strip()]
+    try:
+        parts = [int(p) for p in spec.split(",") if p.strip()]
+        if not 1 <= len(parts) <= 2 or any(p < 1 for p in parts):
+            raise ValueError
+    except ValueError:
+        raise SystemExit(
+            f"--mesh: expected 'auto', 'none', or 'DATA[,MODEL]' counts, got {spec!r}"
+        )
     n_data = parts[0]
     n_model = parts[1] if len(parts) > 1 else 1
+    if n_data * n_model > n_devices:
+        raise SystemExit(
+            f"--mesh {spec!r} needs {n_data * n_model} devices but only "
+            f"{n_devices} are available (platform={jax.default_backend()!r})"
+        )
     return make_mesh(
         n_data=n_data, n_model=n_model, devices=jax.devices()[: n_data * n_model]
     )
@@ -164,6 +189,7 @@ def build_model(args):
     kw = dict(
         spec=spec,
         dtype=dtype,
+        merge_dtype=jnp.bfloat16 if getattr(args, "bf16_merge", False) else None,
         use_transformer=not getattr(args, "no_transformer", False),
         remat=getattr(args, "remat", False),
     )

@@ -100,14 +100,19 @@ def run_eval(args) -> dict:
                     import cv2
 
                     base = os.path.join(args.save_path, f"{batch_idx:04d}")
-                    cv2.imwrite(base + "_rgb.png", (batch["rgb"][0][..., ::-1] * 255).astype(np.uint8))
+                    # loader keeps cv2's BGR order (reference test.py:230-231
+                    # writes it straight through); imwrite expects BGR too
+                    cv2.imwrite(base + "_rgb.png", (batch["rgb"][0] * 255).astype(np.uint8))
                     cv2.imwrite(base + "_pred.png", colorize(pred_np, vmin=0)[..., ::-1])
                     cv2.imwrite(base + "_gt.png", colorize(batch["depth"][0], vmin=0)[..., ::-1])
                     cv2.imwrite(base + "_error.png", colorize(err, vmin=0)[..., ::-1])
                 except ImportError:
                     pass
                 if args.save_ply:
-                    xyz, colors = ply.depth_to_pointcloud(pred_np, batch["rgb"][0])
+                    # flip BGR->RGB to match the red/green/blue labels
+                    # (the reference instead labels its BGR data b,g,r —
+                    # test.py:239-240; infer.py here does the same flip)
+                    xyz, colors = ply.depth_to_pointcloud(pred_np, batch["rgb"][0][..., ::-1])
                     ply.write_ply(
                         os.path.join(args.save_path, f"{batch_idx:04d}_pred.ply"),
                         [xyz, colors],

@@ -149,7 +149,7 @@ def run_training(args) -> dict:
             losses = [float(l) for l, _ in pending]
             mean_loss = float(np.mean(losses)) if losses else float("nan")
             history["train_loss"].append(mean_loss)
-            if writer:
+            if writer and args.visualize_interval:
                 for it in range(0, len(pending), args.visualize_interval):
                     step = epoch * steps_per_epoch + it + 1
                     writer.add_scalar("train/loss", losses[it], step)

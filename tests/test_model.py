@@ -105,3 +105,23 @@ def test_bf16_compute_path():
     depth = model.apply(variables, rgb, train=False)
     assert depth.dtype == jnp.float32  # merge happens in f32
     assert bool(jnp.isfinite(depth).all())
+
+
+def test_param_tree_is_erp_size_independent():
+    """entry() in __graft_entry__.py initializes the flagship via a smaller-
+    ERP twin, relying on the parameter tree depending only on patch size and
+    patch count — pin that invariant (round-2 VERDICT weak #6).  eval_shape
+    keeps it cheap: structure + shapes + dtypes, no compilation."""
+
+    def shapes(erp):
+        spec = ProjectionSpec.create(erp, (128, 128), (80, 80), 4)
+        model = SphericalFusion(spec=spec)
+        variables = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, *erp, 3)))
+        )
+        return jax.tree_util.tree_map(lambda s: (s.shape, str(s.dtype)), variables)
+
+    small = shapes((256, 512))
+    flagship = shapes((512, 1024))
+    assert jax.tree_util.tree_structure(small) == jax.tree_util.tree_structure(flagship)
+    assert jax.tree_util.tree_leaves(small) == jax.tree_util.tree_leaves(flagship)
