@@ -45,6 +45,12 @@ def add_common_args(parser: argparse.ArgumentParser, train: bool):
         default="stanford",
         choices=["stanford", "matterport", "360d", "synthetic"],
     )
+    parser.add_argument(
+        "--synthetic_size",
+        type=int,
+        default=None,
+        help="sample count for --dataset synthetic (default 32 train / 8 eval)",
+    )
     parser.add_argument("--patchsize", type=pair_arg, default=(128, 128))
     parser.add_argument("--fov", type=float, default=80.0)
     parser.add_argument("--nrows", type=int, default=4, choices=[3, 4, 5, 6])
@@ -68,10 +74,13 @@ def add_common_args(parser: argparse.ArgumentParser, train: bool):
     )
     parser.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     parser.add_argument(
-        "--bf16_merge",
-        action="store_true",
-        help="bfloat16 confidence-merge gather too (+10.5%% throughput; "
-        "delta abs_rel < 3e-4 — tools/eval_merge_dtype.py)",
+        "--merge_dtype",
+        default="f32",
+        choices=["f32", "bf16", "f16"],
+        help="precision of the confidence-merge gather (+10.5%% throughput "
+        "for 16-bit; f16 costs only delta abs_rel ~4e-6 vs f32 while bf16 "
+        "costs ~3e-4 — tools/eval_merge_dtype.py; both time identically on "
+        "TPU, tools/bench_merge_variants.py)",
     )
     parser.add_argument("--remat", action="store_true", help="rematerialize the encoder (saves HBM)")
     parser.add_argument(
@@ -189,7 +198,9 @@ def build_model(args):
     kw = dict(
         spec=spec,
         dtype=dtype,
-        merge_dtype=jnp.bfloat16 if getattr(args, "bf16_merge", False) else None,
+        merge_dtype={"f32": None, "bf16": jnp.bfloat16, "f16": jnp.float16}[
+            getattr(args, "merge_dtype", "f32")
+        ],
         use_transformer=not getattr(args, "no_transformer", False),
         remat=getattr(args, "remat", False),
     )
@@ -206,7 +217,7 @@ def build_dataset(args, split_file: str, train: bool):
     if args.dataset == "synthetic":
         return make_dataset(
             "synthetic",
-            size=32 if train else 8,
+            size=getattr(args, "synthetic_size", None) or (32 if train else 8),
             pano_h=args.erp_size[0],
             pano_w=args.erp_size[1],
             seed=args.seed,

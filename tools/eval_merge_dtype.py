@@ -110,28 +110,32 @@ def main():
             preds.append(np.asarray(pred, np.float64))
         return {k: v / total_n for k, v in totals.items()}, np.concatenate(preds)
 
+    candidates = {"bf16_merge": jnp.bfloat16, "f16_merge": jnp.float16}
     report = {}
     for erp in (train_erp, (512, 1024)):
         a, pred_a = evaluate(erp, None)
-        b, pred_b = evaluate(erp, jnp.bfloat16)
-        rel = np.abs(pred_a - pred_b) / np.maximum(pred_a, 1e-3)
         tag = f"{erp[0]}x{erp[1]}"
-        report[tag] = {
-            "f32_merge": a,
-            "bf16_merge": b,
-            "delta": {k: b[k] - a[k] for k in a},
-            "pred_rel_err": {"mean": float(rel.mean()), "p99": float(np.quantile(rel, 0.99)), "max": float(rel.max())},
-        }
+        report[tag] = {"f32_merge": a}
         print(f"\n## {tag}")
-        print(f"| metric | f32 merge | bf16 merge | delta |")
-        print(f"|---|---|---|---|")
-        for k in sorted(a):
-            print(f"| {k} | {a[k]:.6f} | {b[k]:.6f} | {b[k] - a[k]:+.6f} |")
-        print(
-            "pred-vs-pred rel err: mean {mean:.2e}  p99 {p99:.2e}  max {max:.2e}".format(
-                **report[tag]["pred_rel_err"]
+        for name, mdt in candidates.items():
+            b, pred_b = evaluate(erp, mdt)
+            rel = np.abs(pred_a - pred_b) / np.maximum(pred_a, 1e-3)
+            report[tag][name] = b
+            report[tag][f"{name}_delta"] = {k: b[k] - a[k] for k in a}
+            report[tag][f"{name}_pred_rel_err"] = {
+                "mean": float(rel.mean()),
+                "p99": float(np.quantile(rel, 0.99)),
+                "max": float(rel.max()),
+            }
+            print(f"| metric | f32 merge | {name} | delta |")
+            print(f"|---|---|---|---|")
+            for k in sorted(a):
+                print(f"| {k} | {a[k]:.6f} | {b[k]:.6f} | {b[k] - a[k]:+.6f} |")
+            print(
+                "pred-vs-pred rel err: mean {mean:.2e}  p99 {p99:.2e}  max {max:.2e}".format(
+                    **report[tag][f"{name}_pred_rel_err"]
+                )
             )
-        )
 
     print("\n" + json.dumps(report))
 
