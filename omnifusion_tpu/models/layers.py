@@ -98,6 +98,34 @@ def torch_conv(
     )
 
 
+class ConvParams(nn.Module):
+    """Parameter-only conv declaration: the kernel/bias of a ``torch_conv``
+    (same names, shapes, init) WITHOUT applying it.
+
+    For call sites that fuse several logical convs over the same input into
+    one conv pass (e.g. the depth + confidence heads): each head keeps its
+    own torch-mirrored parameter subtree (so torch_import/export stay pure
+    name maps), while apply-time concatenates the kernels along the output-
+    channel axis and runs a single conv — one read of the feature map
+    instead of one per head.
+    """
+
+    features: int
+    in_features: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+            (self.kernel_size, self.kernel_size, self.in_features, self.features),
+            jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return k, b
+
+
 class ConvBnReLU(nn.Module):
     """conv (no bias) -> BN -> ReLU, the reference's ConvBnReLU_v2
     (model/spherical_model.py:29-37) without the Conv3d (k,k,1) emulation:

@@ -32,7 +32,11 @@ def _pad_leading(s: jnp.ndarray, min_bytes: int):
 
 
 def quad_gather_blend(
-    src_flat: jnp.ndarray, idx: jnp.ndarray, w4: jnp.ndarray, row_stride: int
+    src_flat: jnp.ndarray,
+    idx: jnp.ndarray,
+    w4: jnp.ndarray,
+    row_stride: int,
+    channel_first: bool = False,
 ) -> jnp.ndarray:
     """Bilinear-quad gather-blend: one fetch per (output pixel, source patch).
 
@@ -49,15 +53,21 @@ def quad_gather_blend(
       idx: (N_out, K) int32 flat index of each quad's top-left corner.
       w4: (N_out, K, 4) weights in [w00, w01, w10, w11] order.
       row_stride: flat-index distance between vertically adjacent pixels.
+      channel_first: src is (B, C, N_in), result (B, C, N_out) — skips both
+        relayout transposes (see capped_quad_gather_blend).
 
     Returns:
-      (B, N_out, C).
+      (B, N_out, C), or (B, C, N_out) when ``channel_first``.
     """
-    b, n_in, c = src_flat.shape
+    if channel_first:
+        b, c, n_in = src_flat.shape
+        s = src_flat.reshape(b * c, n_in)
+    else:
+        b, n_in, c = src_flat.shape
+        # channels ride in the batch dim: minor dims stay tiny and fusable
+        s = src_flat.transpose(0, 2, 1).reshape(b * c, n_in)
     n_out, k = idx.shape
-    # channels ride in the batch dim: minor dims stay tiny and fusable
     d = b * c
-    s = src_flat.transpose(0, 2, 1).reshape(d, n_in)
     # XLA's TPU gather switches to a vectorized fast path once the operand's
     # leading dim reaches ~256 BYTES (~10x faster per element — PERF_NOTES
     # machine calibration; the gate is bytes, not elements).  The 4 rolled
@@ -77,7 +87,8 @@ def quad_gather_blend(
     )  # (4*D, N_in), quad order [00, 01, 10, 11] in leading blocks
     g = jnp.take(packed, idx.reshape(-1), axis=1).reshape(4, d_pad, n_out, k)
     out = jnp.einsum("qdnk,nkq->dn", g, w4.astype(src_flat.dtype))
-    return out[:d].reshape(b, c, n_out).transpose(0, 2, 1)
+    out = out[:d].reshape(b, c, n_out)
+    return out if channel_first else out.transpose(0, 2, 1)
 
 
 def capped_quad_gather_blend(
@@ -88,6 +99,7 @@ def capped_quad_gather_blend(
     tail_idx: jnp.ndarray,
     tail_w: jnp.ndarray,
     row_stride: int,
+    channel_first: bool = False,
 ) -> jnp.ndarray:
     """quad_gather_blend on a dense-cap + sorted-COO-tail table.
 
@@ -108,14 +120,21 @@ def capped_quad_gather_blend(
       tail_idx: (M,) int32 top-left corner of each tail quad.
       tail_w: (M, 4) weights.
       row_stride: flat-index distance between vertically adjacent pixels.
+      channel_first: src is (B, C, N_in) and the result is (B, C, N_out) —
+        skips BOTH 100+MB relayout transposes (the internal gather domain is
+        (B*C, N) already); the sparse map applied is identical.
 
     Returns:
-      (B, N_out, C).
+      (B, N_out, C), or (B, C, N_out) when ``channel_first``.
     """
-    b, n_in, c = src_flat.shape
+    if channel_first:
+        b, c, n_in = src_flat.shape
+        s = src_flat.reshape(b * c, n_in)
+    else:
+        b, n_in, c = src_flat.shape
+        s = src_flat.transpose(0, 2, 1).reshape(b * c, n_in)
     n_out, k = idx.shape
     d = b * c
-    s = src_flat.transpose(0, 2, 1).reshape(d, n_in)
     # leading-axis fast path, byte-gated (see quad_gather_blend)
     s, d_pad = _pad_leading(s, 64)
     packed = jnp.concatenate(
@@ -138,7 +157,8 @@ def capped_quad_gather_blend(
         )  # (N_out, D)
         out = out + summed.T
 
-    return out[:d].reshape(b, c, n_out).transpose(0, 2, 1)
+    out = out[:d].reshape(b, c, n_out)
+    return out if channel_first else out.transpose(0, 2, 1)
 
 
 def gather_blend(src_flat: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
@@ -173,6 +193,7 @@ def transposed_quad_gather_blend(
     over_w: jnp.ndarray,
     n_in: int,
     row_stride: int,
+    channel_first: bool = False,
 ) -> jnp.ndarray:
     """Apply W^T to a cotangent: the backward of a static quad blend.
 
@@ -195,14 +216,21 @@ def transposed_quad_gather_blend(
       over_dst: (M,) int32 indices into N_in.
       over_w: (M, 4) quad weights.
       row_stride: flat-index distance between vertically adjacent pixels.
+      channel_first: cotangent comes in as (B, C, N_out) and the result is
+        (B, C, N_in) — the layout the channel-first forward's VJP needs.
 
     Returns:
-      (B, N_in, C) cotangent for the source.
+      (B, N_in, C) cotangent for the source, or (B, C, N_in) when
+      ``channel_first``.
     """
-    b, n_out, c = cot.shape
+    if channel_first:
+        b, c, n_out = cot.shape
+        g2 = cot.reshape(b * c, n_out)
+    else:
+        b, n_out, c = cot.shape
+        g2 = cot.transpose(0, 2, 1).reshape(b * c, n_out)
     k_t = idx_t.shape[1]
     d = b * c
-    g2 = cot.transpose(0, 2, 1).reshape(d, n_out)
     # no quad packing here: the operand alone must reach the ~256-byte gate
     g2, d_pad = _pad_leading(g2, 256)
     g = jnp.take(g2, idx_t.reshape(-1), axis=1).reshape(d_pad, n_in, k_t)
@@ -225,30 +253,36 @@ def transposed_quad_gather_blend(
         + jnp.roll(blocks[2], row_stride, axis=-1)
         + jnp.roll(blocks[3], row_stride + 1, axis=-1)
     )
-    return out[:d].reshape(b, c, n_in).transpose(0, 2, 1)
+    out = out[:d].reshape(b, c, n_in)
+    return out if channel_first else out.transpose(0, 2, 1)
 
 
 def quad_gather_blend_with_vjp(
-    src_flat, idx, w4, row_stride: int, vjp_tables, capped=None
+    src_flat, idx, w4, row_stride: int, vjp_tables, capped=None, channel_first=False
 ) -> jnp.ndarray:
     """quad_gather_blend with a custom backward using transposed tables.
 
     When ``capped`` tables are given (spec.build_capped_tables) the forward
     runs capped_quad_gather_blend — the identical sparse map re-packed with
-    less gather volume, so the one transposed backward serves both."""
-    n_in = src_flat.shape[1]
+    less gather volume, so the one transposed backward serves both.
+
+    ``channel_first``: src is (B, C, N_in), result (B, C, N_out), and the
+    backward stays channel-first end to end — no relayout transposes
+    anywhere on the sparse-map path."""
+    n_in = src_flat.shape[2] if channel_first else src_flat.shape[1]
 
     if capped is not None:
         idx_c, w_c, tail_pix, tail_idx, tail_w = capped
 
         def _forward(src):
             return capped_quad_gather_blend(
-                src, idx_c, w_c, tail_pix, tail_idx, tail_w, row_stride
+                src, idx_c, w_c, tail_pix, tail_idx, tail_w, row_stride,
+                channel_first=channel_first,
             )
     else:
 
         def _forward(src):
-            return quad_gather_blend(src, idx, w4, row_stride)
+            return quad_gather_blend(src, idx, w4, row_stride, channel_first=channel_first)
 
     @jax.custom_vjp
     def op(src):
@@ -262,7 +296,8 @@ def quad_gather_blend_with_vjp(
         idx_t, w_t, over_src, over_dst, over_w = (jnp.asarray(t) for t in vjp_tables)
         return (
             transposed_quad_gather_blend(
-                cot, idx_t, w_t, over_src, over_dst, over_w, n_in, row_stride
+                cot, idx_t, w_t, over_src, over_dst, over_w, n_in, row_stride,
+                channel_first=channel_first,
             ),
         )
 

@@ -75,6 +75,31 @@ def pers2equi(pers: jnp.ndarray, grids: Pers2EquiGrids) -> jnp.ndarray:
     return out.reshape(b, spec.erp_h, spec.erp_w, c)
 
 
+def pers2equi_cf(pers_cf: jnp.ndarray, grids: Pers2EquiGrids) -> jnp.ndarray:
+    """Channel-first pers2equi: (B, C, P*h*w) -> (B, C, H, W).
+
+    Identical sparse map to :func:`pers2equi`, but input and output ride in
+    the gather's native (batch*channel, pixel) domain, eliminating both
+    100+MB relayout transposes (the dominant non-gather cost of the merge at
+    wide batch — see PERF_NOTES.md round-3 profile).  The channel-first
+    layout is also what the confidence merge wants: num/den split on axis 1
+    and the final (B, H*W) -> (B, H, W, 1) reshape are free.
+    """
+    spec = grids.spec
+    b, c, n_in = pers_cf.shape
+    assert n_in == spec.n_patches * spec.patch_h * spec.patch_w, (pers_cf.shape, spec)
+    out = quad_gather_blend_with_vjp(
+        pers_cf,
+        grids.idx,
+        grids.w4,
+        spec.patch_w,
+        grids.vjp,
+        capped=grids.capped,
+        channel_first=True,
+    )
+    return out.reshape(b, c, spec.erp_h, spec.erp_w)
+
+
 def project(erp: jnp.ndarray, spec: ProjectionSpec) -> PatchProjection:
     """Convenience: build/cache grids for spec and run equi2pers_full."""
     return equi2pers_full(erp, build_equi2pers_grids(spec))

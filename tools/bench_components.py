@@ -22,7 +22,21 @@ def main():
     ap.add_argument("--patchsize", type=int, default=128)
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--bf16", action="store_true", help="bf16 trunk + projections")
+    ap.add_argument(
+        "--merge_dtype",
+        choices=["f32", "bf16", "f16"],
+        default="f32",
+        help="precision of the confidence-merge gather",
+    )
     args = ap.parse_args()
+
+    import os
+
+    from omnifusion_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+    )
 
     import jax
     import jax.numpy as jnp
@@ -60,6 +74,7 @@ def main():
         print(f"{name:36s} {dt*1000:8.2f} ms/batch{B}  ({B/dt:8.1f} panos/s)")
 
     cdt = jnp.bfloat16 if args.bf16 else None
+    mdt = {"f32": None, "bf16": jnp.bfloat16, "f16": jnp.float16}[args.merge_dtype]
 
     def maybe_cast(x):
         return x.astype(cdt) if cdt is not None else x
@@ -70,7 +85,7 @@ def main():
     bench(
         "merge (confidence)",
         (B, P, ph, ph, 1),
-        lambda x: confidence_merge(x, x * 0.5 + 0.2, p2e).sum(),
+        lambda x: confidence_merge(x, x * 0.5 + 0.2, p2e, dtype=mdt).sum(),
     )
 
     trunk = DepthTrunk(dtype=cdt)
@@ -83,7 +98,7 @@ def main():
         lambda x: sum(o.sum() for o in trunk.apply(tv, x, pf, train=False)),
     )
 
-    model = SphericalFusion(spec=spec, dtype=cdt)
+    model = SphericalFusion(spec=spec, dtype=cdt, merge_dtype=mdt)
     rgb1 = jnp.zeros((1, h, w, 3))
     variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), rgb1))()
     bench(
