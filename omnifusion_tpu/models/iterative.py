@@ -45,6 +45,8 @@ class SphericalFusionIterative(nn.Module):
     dtype: Optional[jnp.dtype] = None
     # precision of the final merge gather; None = f32 (see confidence_merge)
     merge_dtype: Optional[jnp.dtype] = None
+    # "pallas" = index-major Pallas blend-reduce for the merge (see SphericalFusion)
+    merge_impl: str = "xla"
 
     @nn.compact
     def __call__(self, rgb, train: bool = False, confidence: bool = False):
@@ -76,7 +78,7 @@ class SphericalFusionIterative(nn.Module):
         # pass 1: unit-sphere xyz embedding (spherical_model_iterative.py:315-319)
         pf = mlp1(grids_q.xyz, train=train)  # (P, h/4, w/4, 64)
         pred, conf = trunk(patches, pf[None], train=train)
-        preds = [confidence_merge(pred, conf, p2e, use_confidence=confidence, dtype=self.merge_dtype)]
+        preds = [confidence_merge(pred, conf, p2e, use_confidence=confidence, dtype=self.merge_dtype, impl=self.merge_impl)]
 
         # refinement passes: 3D point embedding from previous depth
         # (spherical_model_iterative.py:383-398)
@@ -87,6 +89,6 @@ class SphericalFusionIterative(nn.Module):
                 points.reshape((-1,) + points.shape[2:]), train=train
             ).reshape(points.shape[:2] + (spec_q.patch_h, spec_q.patch_w, 64))
             pred, conf = trunk(patches, pf_i, train=train)
-            preds.append(confidence_merge(pred, conf, p2e, use_confidence=confidence, dtype=self.merge_dtype))
+            preds.append(confidence_merge(pred, conf, p2e, use_confidence=confidence, dtype=self.merge_dtype, impl=self.merge_impl))
 
         return preds

@@ -180,7 +180,9 @@ class DepthTrunk(nn.Module):
         )
 
 
-def confidence_merge(pred, conf, p2e_grids, use_confidence: bool = True, dtype=None):
+def confidence_merge(
+    pred, conf, p2e_grids, use_confidence: bool = True, dtype=None, impl: str = "xla"
+):
     """Merge per-patch depth to ERP with the confidence-weighted scheme
     (spherical_model.py:304-311): pers2equi(pred*conf) / pers2equi(conf).
 
@@ -202,13 +204,13 @@ def confidence_merge(pred, conf, p2e_grids, use_confidence: bool = True, dtype=N
     if not use_confidence:
         src = pred.astype(mdt).reshape(b, 1, -1)
         return (
-            pers2equi_cf(src, p2e_grids)
+            pers2equi_cf(src, p2e_grids, impl=impl)
             .astype(jnp.float32)
             .reshape(b, p2e_grids.spec.erp_h, p2e_grids.spec.erp_w, 1)
         )
     pred = pred.astype(mdt).reshape(b, -1)
     conf = conf.astype(mdt).reshape(b, -1)
-    merged = pers2equi_cf(jnp.stack([pred * conf, conf], axis=1), p2e_grids)
+    merged = pers2equi_cf(jnp.stack([pred * conf, conf], axis=1), p2e_grids, impl=impl)
     num, den = merged[:, 0].astype(jnp.float32), merged[:, 1].astype(jnp.float32)
     zero = (den <= 1e-8).astype(jnp.float32)
     return (num / (den + 1e-8 * zero))[..., None]
@@ -228,6 +230,9 @@ class SphericalFusion(nn.Module):
     # precision of the final merge gather; None = f32 (the default even when
     # dtype=bf16 — see confidence_merge)
     merge_dtype: Optional[jnp.dtype] = None
+    # "pallas" = index-major Pallas blend-reduce for the merge (single-chip
+    # throughput mode; auto-falls-back when batch*channel isn't lane-aligned)
+    merge_impl: str = "xla"
 
     @nn.compact
     def __call__(self, rgb, train: bool = False, confidence: bool = True):
@@ -276,4 +281,5 @@ class SphericalFusion(nn.Module):
             build_pers2equi_grids(spec),
             use_confidence=confidence,
             dtype=self.merge_dtype,
+            impl=self.merge_impl,
         )

@@ -1,0 +1,125 @@
+"""Pallas TPU kernel for the post-gather quad blend-reduce.
+
+The round-3 xplane profile of the b=64 flagship forward showed that the
+pers2equi merge's cost is NOT the gather itself (~8-16 ms at ~260 GB/s) but
+the data movement XLA schedules around it: a retiling reshape of the gather
+result, the blend einsum's operand copies, and the output relayout
+transposes (PERF_NOTES.md round-2/3 profiles; the reference's equivalent is
+the advanced-index gather + masked normalize of pers2equi_v3.py:171-196).
+
+This module removes all of it:
+
+  * the gather is expressed INDEX-MAJOR — operand ``(N_in, 4*D)``, result
+    ``(M, 4*D)`` — which is the physical layout XLA's layout assignment
+    already chose for the merge gather (operand {0,1}, result {1,0} in the
+    profile), so the logical program finally matches the physical one and
+    no retile is needed;
+  * a Pallas kernel (``_blend_kernel``) consumes the gather result directly
+    from VMEM blocks and does the weighted quad reduction in f32 on the VPU,
+    writing ``(N_out, D)`` — zero intermediate copies.
+
+The kernel is shape-specialized: it requires D (the padded batch*channel
+dim) to be a multiple of 128 lanes (true at the b>=64 bench regime, where
+D = 64*2 = 128); narrower callers take the XLA path in sparse_blend.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omnifusion_tpu.ops.sparse_blend import _pad_leading
+
+
+def _blend_kernel(g_ref, w_ref, o_ref, *, K: int, D: int):
+    nb = o_ref.shape[0]
+    g = g_ref[:].reshape(nb, K, 4, D).astype(jnp.float32)
+    w = w_ref[:].reshape(nb, K, 4)
+    o_ref[:] = jnp.sum(g * w[..., None], axis=(1, 2))
+
+
+def blend_reduce(
+    g: jnp.ndarray, w4: jnp.ndarray, K: int, blk: int = 256, interpret: bool = False
+) -> jnp.ndarray:
+    """(M=N_pad*K, 4*D) gather rows + (N_pad, K, 4) f32 weights -> (N_pad, D) f32."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, r = g.shape
+    d = r // 4
+    n_pad = m // K
+    assert n_pad % blk == 0 and m == n_pad * K, (g.shape, K, blk)
+    return pl.pallas_call(
+        functools.partial(_blend_kernel, K=K, D=d),
+        out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
+        grid=(n_pad // blk,),
+        in_specs=[
+            pl.BlockSpec((blk * K, r), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, K * 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((blk, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(g, w4.reshape(n_pad, K * 4).astype(jnp.float32))
+
+
+def quad_gather_blend_pallas(
+    src_cf: jnp.ndarray,
+    idx: np.ndarray,
+    w4: np.ndarray,
+    tail_pix,
+    tail_idx,
+    tail_w,
+    row_stride: int,
+    blk: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Channel-first quad gather-blend with the Pallas blend-reduce.
+
+    Same sparse map as sparse_blend.capped_quad_gather_blend (capped dense
+    + sorted-COO tail), index-major formulation.  src (B, C, N_in) ->
+    (B, C, N_out).  Requires the padded leading dim to be a lane multiple
+    (128); callers fall back to the XLA path otherwise.
+    """
+    b, c, n_in = src_cf.shape
+    d = b * c
+    s = src_cf.reshape(d, n_in)
+    s, d_pad = _pad_leading(s, 64)
+    if d_pad % 128:
+        raise ValueError(f"pallas blend needs lane-aligned D, got {d_pad}")
+    st = s.T  # layout-only: XLA assigns the pack's physical layout d-minor anyway
+    packed = jnp.concatenate(
+        [
+            st,
+            jnp.roll(st, -1, axis=0),
+            jnp.roll(st, -row_stride, axis=0),
+            jnp.roll(st, -(row_stride + 1), axis=0),
+        ],
+        axis=1,
+    )  # (N_in, 4*D) — quad corner blocks ride the minor dim, d-minor
+
+    idx = np.asarray(idx)
+    w4 = np.asarray(w4, np.float32)
+    n_out, k = idx.shape
+    pad = -n_out % blk
+    if pad:
+        idx = np.concatenate([idx, np.zeros((pad, k), idx.dtype)])
+        w4 = np.concatenate([w4, np.zeros((pad, k, 4), w4.dtype)])
+
+    g = jnp.take(packed, idx.reshape(-1), axis=0)  # (N_pad*K, 4*D)
+    out = blend_reduce(g, jnp.asarray(w4), k, blk=blk, interpret=interpret)
+    out = out[:n_out]  # (N_out, D) f32
+
+    if tail_pix is not None and tail_pix.shape[0]:
+        gt = jnp.take(packed, jnp.asarray(tail_idx), axis=0)  # (M, 4*D)
+        tw = jnp.asarray(np.asarray(tail_w, np.float32))
+        tv = jnp.sum(
+            gt.reshape(-1, 4, d_pad).astype(jnp.float32) * tw[:, :, None], axis=1
+        )  # (M, D)
+        out = out + jax.ops.segment_sum(
+            tv, jnp.asarray(tail_pix), num_segments=n_out, indices_are_sorted=True
+        )
+
+    return out[:, :d].T.reshape(b, c, n_out)

@@ -258,7 +258,8 @@ def transposed_quad_gather_blend(
 
 
 def quad_gather_blend_with_vjp(
-    src_flat, idx, w4, row_stride: int, vjp_tables, capped=None, channel_first=False
+    src_flat, idx, w4, row_stride: int, vjp_tables, capped=None, channel_first=False,
+    impl: str = "xla",
 ) -> jnp.ndarray:
     """quad_gather_blend with a custom backward using transposed tables.
 
@@ -268,8 +269,30 @@ def quad_gather_blend_with_vjp(
 
     ``channel_first``: src is (B, C, N_in), result (B, C, N_out), and the
     backward stays channel-first end to end — no relayout transposes
-    anywhere on the sparse-map path."""
+    anywhere on the sparse-map path.
+
+    ``impl="pallas"``: run the forward through the index-major Pallas
+    blend-reduce (ops.pallas_blend) — identical sparse map, no retile or
+    blend-einsum copies.  Requires channel_first, capped tables, and a
+    lane-aligned batch*channel dim (multiple of 128); silently falls back to
+    the XLA path otherwise (so callers can request it unconditionally).
+    The custom VJP below serves both forwards, so autodiff never has to
+    differentiate through the kernel."""
     n_in = src_flat.shape[2] if channel_first else src_flat.shape[1]
+
+    if impl == "pallas" and channel_first and capped is not None:
+        b, c, _ = src_flat.shape
+        if (b * c) % 128 == 0:
+            from omnifusion_tpu.ops.pallas_blend import quad_gather_blend_pallas
+
+            idx_c, w_c, tail_pix, tail_idx, tail_w = capped
+
+            def _forward(src):
+                return quad_gather_blend_pallas(
+                    src, idx_c, w_c, tail_pix, tail_idx, tail_w, row_stride
+                )
+
+            return _with_table_vjp(_forward, src_flat, vjp_tables, n_in, row_stride, True)
 
     if capped is not None:
         idx_c, w_c, tail_pix, tail_idx, tail_w = capped
@@ -284,6 +307,12 @@ def quad_gather_blend_with_vjp(
         def _forward(src):
             return quad_gather_blend(src, idx, w4, row_stride, channel_first=channel_first)
 
+    return _with_table_vjp(
+        _forward, src_flat, vjp_tables, n_in, row_stride, channel_first
+    )
+
+
+def _with_table_vjp(_forward, src_flat, vjp_tables, n_in, row_stride, channel_first):
     @jax.custom_vjp
     def op(src):
         return _forward(src)
@@ -291,15 +320,18 @@ def quad_gather_blend_with_vjp(
     def fwd(src):
         return _forward(src), None
 
+    src_dtype = src_flat.dtype
+
     def bwd(_, cot):
         # tables materialize only when a backward is actually traced
         idx_t, w_t, over_src, over_dst, over_w = (jnp.asarray(t) for t in vjp_tables)
-        return (
-            transposed_quad_gather_blend(
-                cot, idx_t, w_t, over_src, over_dst, over_w, n_in, row_stride,
-                channel_first=channel_first,
-            ),
+        out = transposed_quad_gather_blend(
+            cot, idx_t, w_t, over_src, over_dst, over_w, n_in, row_stride,
+            channel_first=channel_first,
         )
+        # the pallas forward emits f32 from lower-precision sources; the
+        # cotangent must come back in the primal's dtype
+        return (out.astype(src_dtype),)
 
     op.defvjp(fwd, bwd)
     return op(src_flat)

@@ -75,7 +75,9 @@ def pers2equi(pers: jnp.ndarray, grids: Pers2EquiGrids) -> jnp.ndarray:
     return out.reshape(b, spec.erp_h, spec.erp_w, c)
 
 
-def pers2equi_cf(pers_cf: jnp.ndarray, grids: Pers2EquiGrids) -> jnp.ndarray:
+def pers2equi_cf(
+    pers_cf: jnp.ndarray, grids: Pers2EquiGrids, impl: str = "xla"
+) -> jnp.ndarray:
     """Channel-first pers2equi: (B, C, P*h*w) -> (B, C, H, W).
 
     Identical sparse map to :func:`pers2equi`, but input and output ride in
@@ -84,6 +86,10 @@ def pers2equi_cf(pers_cf: jnp.ndarray, grids: Pers2EquiGrids) -> jnp.ndarray:
     wide batch — see PERF_NOTES.md round-3 profile).  The channel-first
     layout is also what the confidence merge wants: num/den split on axis 1
     and the final (B, H*W) -> (B, H, W, 1) reshape are free.
+
+    impl="pallas" routes the forward through the index-major Pallas
+    blend-reduce kernel (ops.pallas_blend) when the batch*channel dim is
+    lane-aligned; falls back to the XLA path otherwise.
     """
     spec = grids.spec
     b, c, n_in = pers_cf.shape
@@ -96,6 +102,7 @@ def pers2equi_cf(pers_cf: jnp.ndarray, grids: Pers2EquiGrids) -> jnp.ndarray:
         grids.vjp,
         capped=grids.capped,
         channel_first=True,
+        impl=impl,
     )
     return out.reshape(b, c, spec.erp_h, spec.erp_w)
 

@@ -1,0 +1,97 @@
+"""Pallas vs XLA merge-blend shootout at flagship shapes (round-3 #4).
+
+    python tools/bench_pallas_merge.py --batch 64 --dtypes f16,bf16,f32
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--channels", type=int, default=2)
+    ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--dtypes", default="f16")
+    ap.add_argument("--blk", type=int, default=256)
+    args = ap.parse_args()
+
+    from omnifusion_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+    )
+    import jax
+    import jax.numpy as jnp
+
+    from omnifusion_tpu.ops.pallas_blend import quad_gather_blend_pallas
+    from omnifusion_tpu.ops.sparse_blend import capped_quad_gather_blend
+    from omnifusion_tpu.projection import ProjectionSpec
+    from omnifusion_tpu.projection.spec import build_pers2equi_grids
+
+    spec = ProjectionSpec.create((512, 1024), (128, 128), (80, 80), 4)
+    p2e = build_pers2equi_grids(spec)
+    ic, wc, tp, ti, tw = p2e.capped
+    n_in = spec.n_patches * spec.patch_h * spec.patch_w
+    B, C = args.batch, args.channels
+    DT = {"f32": jnp.float32, "bf16": jnp.bfloat16, "f16": jnp.float16}
+
+    # tiny pallas probe first: fail fast if Mosaic doesn't lower on this chip
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    probe = pl.pallas_call(
+        lambda x_ref, o_ref: o_ref.__setitem__(slice(None), x_ref[:] * 2.0),
+        out_shape=jax.ShapeDtypeStruct((256, 128), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(jnp.ones((256, 128), jnp.float32))
+    assert float(probe.sum()) == 2.0 * 256 * 128
+    print(f"pallas probe ok on {jax.default_backend()}", flush=True)
+
+    def xla_path(src):
+        return capped_quad_gather_blend(src, ic, wc, tp, ti, tw, spec.patch_w, channel_first=True)
+
+    def pallas_path(src):
+        return quad_gather_blend_pallas(src, ic, wc, tp, ti, tw, spec.patch_w, blk=args.blk)
+
+    # correctness cross-check at full shape (f32, small batch via lane pad)
+    rng = np.random.default_rng(0)
+    small = jnp.asarray(rng.random((64, 2, n_in), dtype=np.float32))
+    ref = jax.jit(xla_path)(small)
+    got = jax.jit(pallas_path)(small)
+    err = float(jnp.abs(got - ref).max())
+    print(f"check max|delta| = {err:.3e}", flush=True)
+    assert err < 1e-4, err
+
+    def bench(name, body, dtype):
+        @jax.jit
+        def run(seed):
+            x = (jnp.full((B, C, n_in), 0.5, jnp.float32) * seed).astype(dtype)
+
+            def step(s, _):
+                v = body(s).astype(jnp.float32).sum()
+                return (x.astype(jnp.float32) * (1.0 + 1e-12 * v)).astype(dtype), v
+
+            _, vals = jax.lax.scan(step, x, None, length=args.reps)
+            return vals.sum()
+
+        float(run(jnp.float32(1.0)))
+        t0 = time.perf_counter()
+        float(run(jnp.float32(1.001)))
+        dt = (time.perf_counter() - t0) / args.reps
+        print(f"{name:24s} {dt * 1000:8.2f} ms/call  (B={B})", flush=True)
+
+    for dt_name in args.dtypes.split(","):
+        print(f"\n-- dtype={dt_name}, D={B * C} --")
+        bench(f"xla_capped/{dt_name}", xla_path, DT[dt_name])
+        bench(f"pallas/{dt_name}", pallas_path, DT[dt_name])
+
+
+if __name__ == "__main__":
+    main()
