@@ -230,9 +230,10 @@ class SphericalFusion(nn.Module):
     # precision of the final merge gather; None = f32 (the default even when
     # dtype=bf16 — see confidence_merge)
     merge_dtype: Optional[jnp.dtype] = None
-    # "pallas" = index-major Pallas blend-reduce for the merge (single-chip
-    # throughput mode; auto-falls-back when batch*channel isn't lane-aligned)
-    merge_impl: str = "xla"
+    # "pallas" = index-major Pallas blend-reduce for BOTH projections
+    # (single-chip throughput mode; auto-falls-back when batch*channel
+    # doesn't fill a 128-lane vector)
+    proj_impl: str = "xla"
 
     @nn.compact
     def __call__(self, rgb, train: bool = False, confidence: bool = True):
@@ -249,7 +250,7 @@ class SphericalFusion(nn.Module):
         # halves its traffic, and the trunk consumes bf16 anyway
         if self.dtype is not None:
             rgb = rgb.astype(self.dtype)
-        patches = equi2pers(rgb, grids_hr)  # (B, P, h, w, 3)
+        patches = equi2pers(rgb, grids_hr, impl=self.proj_impl)  # (B, P, h, w, 3)
 
         # geometric embedding input: (center, rho=1, center) per patch pixel
         # at quarter resolution (spherical_model.py:245-251)
@@ -281,5 +282,5 @@ class SphericalFusion(nn.Module):
             build_pers2equi_grids(spec),
             use_confidence=confidence,
             dtype=self.merge_dtype,
-            impl=self.merge_impl,
+            impl=self.proj_impl,
         )

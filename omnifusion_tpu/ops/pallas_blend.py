@@ -18,9 +18,9 @@ This module removes all of it:
     from VMEM blocks and does the weighted quad reduction in f32 on the VPU,
     writing ``(N_out, D)`` — zero intermediate copies.
 
-The kernel is shape-specialized: it requires D (the padded batch*channel
-dim) to be a multiple of 128 lanes (true at the b>=64 bench regime, where
-D = 64*2 = 128); narrower callers take the XLA path in sparse_blend.py.
+The kernel pads D (the batch*channel dim) up to a full 128-lane multiple;
+very narrow callers take the XLA path in sparse_blend.py instead (the
+auto-fallback there keeps the padded-fetch waste bounded).
 """
 
 from __future__ import annotations
@@ -38,13 +38,19 @@ def _blend_kernel(g_ref, w_ref, o_ref, *, K: int, D: int):
     nb = o_ref.shape[0]
     g = g_ref[:].reshape(nb, K, 4, D).astype(jnp.float32)
     w = w_ref[:].reshape(nb, K, 4)
-    o_ref[:] = jnp.sum(g * w[..., None], axis=(1, 2))
+    o_ref[:] = jnp.sum(g * w[..., None], axis=(1, 2)).astype(o_ref.dtype)
 
 
 def blend_reduce(
-    g: jnp.ndarray, w4: jnp.ndarray, K: int, blk: int = 256, interpret: bool = False
+    g: jnp.ndarray,
+    w4: jnp.ndarray,
+    K: int,
+    blk: int = 256,
+    interpret: bool = False,
+    out_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """(M=N_pad*K, 4*D) gather rows + (N_pad, K, 4) f32 weights -> (N_pad, D) f32."""
+    """(M=N_pad*K, 4*D) gather rows + (N_pad, K, 4) f32 weights ->
+    (N_pad, D) in ``out_dtype`` (accumulation is always f32 on the VPU)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -54,7 +60,7 @@ def blend_reduce(
     assert n_pad % blk == 0 and m == n_pad * K, (g.shape, K, blk)
     return pl.pallas_call(
         functools.partial(_blend_kernel, K=K, D=d),
-        out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad, d), out_dtype),
         grid=(n_pad // blk,),
         in_specs=[
             pl.BlockSpec((blk * K, r), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -65,30 +71,20 @@ def blend_reduce(
     )(g, w4.reshape(n_pad, K * 4).astype(jnp.float32))
 
 
-def quad_gather_blend_pallas(
-    src_cf: jnp.ndarray,
-    idx: np.ndarray,
-    w4: np.ndarray,
-    tail_pix,
-    tail_idx,
-    tail_w,
-    row_stride: int,
-    blk: int = 256,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Channel-first quad gather-blend with the Pallas blend-reduce.
-
-    Same sparse map as sparse_blend.capped_quad_gather_blend (capped dense
-    + sorted-COO tail), index-major formulation.  src (B, C, N_in) ->
-    (B, C, N_out).  Requires the padded leading dim to be a lane multiple
-    (128); callers fall back to the XLA path otherwise.
-    """
+def _gather_blend_pixel_major(
+    src_cf, idx, w4, tail_pix, tail_idx, tail_w, row_stride, blk, interpret,
+    out_dtype=jnp.float32,
+):
+    """Shared core: (B, C, N_in) channel-first source -> (N_out, D=B*C)
+    pixel-major result in ``out_dtype`` (padding stripped from N_out, not
+    yet from D)."""
     b, c, n_in = src_cf.shape
-    d = b * c
-    s = src_cf.reshape(d, n_in)
+    s = src_cf.reshape(b * c, n_in)
     s, d_pad = _pad_leading(s, 64)
     if d_pad % 128:
-        raise ValueError(f"pallas blend needs lane-aligned D, got {d_pad}")
+        extra = -d_pad % 128
+        s = jnp.concatenate([s, jnp.zeros((extra, n_in), s.dtype)], axis=0)
+        d_pad += extra
     st = s.T  # layout-only: XLA assigns the pack's physical layout d-minor anyway
     packed = jnp.concatenate(
         [
@@ -109,17 +105,69 @@ def quad_gather_blend_pallas(
         w4 = np.concatenate([w4, np.zeros((pad, k, 4), w4.dtype)])
 
     g = jnp.take(packed, idx.reshape(-1), axis=0)  # (N_pad*K, 4*D)
-    out = blend_reduce(g, jnp.asarray(w4), k, blk=blk, interpret=interpret)
-    out = out[:n_out]  # (N_out, D) f32
+    out = blend_reduce(
+        g, jnp.asarray(w4), k, blk=blk, interpret=interpret, out_dtype=out_dtype
+    )
+    out = out[:n_out]  # (N_out, D)
 
     if tail_pix is not None and tail_pix.shape[0]:
         gt = jnp.take(packed, jnp.asarray(tail_idx), axis=0)  # (M, 4*D)
         tw = jnp.asarray(np.asarray(tail_w, np.float32))
         tv = jnp.sum(
             gt.reshape(-1, 4, d_pad).astype(jnp.float32) * tw[:, :, None], axis=1
-        )  # (M, D)
+        )  # (M, D) — layout-matched with the kernel output, no transpose
         out = out + jax.ops.segment_sum(
             tv, jnp.asarray(tail_pix), num_segments=n_out, indices_are_sorted=True
-        )
+        ).astype(out.dtype)
+    return out
 
-    return out[:, :d].T.reshape(b, c, n_out)
+
+def quad_gather_blend_pallas(
+    src_cf: jnp.ndarray,
+    idx: np.ndarray,
+    w4: np.ndarray,
+    tail_pix,
+    tail_idx,
+    tail_w,
+    row_stride: int,
+    blk: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Channel-first quad gather-blend with the Pallas blend-reduce.
+
+    Same sparse map as sparse_blend.capped_quad_gather_blend (capped dense
+    + sorted-COO tail), index-major formulation.  src (B, C, N_in) ->
+    (B, C, N_out).
+    """
+    b, c, n_in = src_cf.shape
+    out = _gather_blend_pixel_major(
+        src_cf, idx, w4, tail_pix, tail_idx, tail_w, row_stride, blk, interpret
+    )
+    n_out = out.shape[0]
+    return out[:, : b * c].T.reshape(b, c, n_out)
+
+
+def quad_gather_blend_pallas_cl(
+    src_flat: jnp.ndarray,
+    idx: np.ndarray,
+    w4: np.ndarray,
+    row_stride: int,
+    blk: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Channel-LAST wrapper: (B, N_in, C) -> (B, N_out, C).
+
+    For the equi2pers direction (K=1, no COO tail), whose consumers (the
+    conv trunk) want channel-last patch stacks.  The kernel output arrives
+    pixel-major (N_out, B, C); one (1,0,2) transpose lands it channel-last —
+    cheaper than the XLA path's retile + blend copies it replaces.
+    """
+    b, n_in, c = src_flat.shape
+    src_cf = src_flat.transpose(0, 2, 1)  # same relayout the XLA path does
+    out = _gather_blend_pixel_major(
+        src_cf, idx, w4, None, None, None, row_stride, blk, interpret,
+        out_dtype=src_flat.dtype,
+    )
+    n_out = out.shape[0]
+    out = out[:, : b * c].reshape(n_out, b, c)
+    return out.transpose(1, 0, 2)

@@ -280,9 +280,12 @@ def quad_gather_blend_with_vjp(
     differentiate through the kernel."""
     n_in = src_flat.shape[2] if channel_first else src_flat.shape[1]
 
-    if impl == "pallas" and channel_first and capped is not None:
-        b, c, _ = src_flat.shape
-        if (b * c) % 128 == 0:
+    if impl == "pallas":
+        b = src_flat.shape[0]
+        c = src_flat.shape[1] if channel_first else src_flat.shape[2]
+        # below one full 128-lane vector the kernel's lane padding outweighs
+        # the removed data movement; stay on the XLA path
+        if b * c >= 128 and channel_first and capped is not None:
             from omnifusion_tpu.ops.pallas_blend import quad_gather_blend_pallas
 
             idx_c, w_c, tail_pix, tail_idx, tail_w = capped
@@ -293,6 +296,13 @@ def quad_gather_blend_with_vjp(
                 )
 
             return _with_table_vjp(_forward, src_flat, vjp_tables, n_in, row_stride, True)
+        if b * c >= 128 and not channel_first and capped is None:
+            from omnifusion_tpu.ops.pallas_blend import quad_gather_blend_pallas_cl
+
+            def _forward(src):
+                return quad_gather_blend_pallas_cl(src, idx, w4, row_stride)
+
+            return _with_table_vjp(_forward, src_flat, vjp_tables, n_in, row_stride, False)
 
     if capped is not None:
         idx_c, w_c, tail_pix, tail_idx, tail_w = capped

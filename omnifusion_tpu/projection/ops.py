@@ -36,16 +36,22 @@ class PatchProjection(NamedTuple):
     centers: jnp.ndarray  # (P, 2)
 
 
-def equi2pers(erp: jnp.ndarray, grids: Equi2PersGrids) -> jnp.ndarray:
+def equi2pers(erp: jnp.ndarray, grids: Equi2PersGrids, impl: str = "xla") -> jnp.ndarray:
     """Project an ERP image onto all tangent patches.
 
     erp: (B, H, W, C) -> (B, P, h, w, C).
+
+    impl="pallas" routes the blend through the index-major Pallas kernel
+    (ops.pallas_blend) when batch*channel fills a 128-lane vector; falls
+    back to the XLA path otherwise.
     """
     spec = grids.spec
     b, h, w, c = erp.shape
     assert (h, w) == (spec.erp_h, spec.erp_w), (erp.shape, spec)
     src = erp.reshape(b, h * w, c)
-    out = quad_gather_blend_with_vjp(src, grids.idx, grids.w4, spec.erp_w, grids.vjp)
+    out = quad_gather_blend_with_vjp(
+        src, grids.idx, grids.w4, spec.erp_w, grids.vjp, impl=impl
+    )
     return out.reshape(b, spec.n_patches, spec.patch_h, spec.patch_w, c)
 
 

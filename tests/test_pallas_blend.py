@@ -38,10 +38,34 @@ def test_pallas_matches_capped_xla(small_spec):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
 
 
-def test_pallas_rejects_narrow_lanes(small_spec):
-    grids = build_pers2equi_grids(small_spec)
-    ic, wc, tp, ti, tw = grids.capped
-    n_in = small_spec.n_patches * small_spec.patch_h * small_spec.patch_w
-    x = jnp.zeros((8, 2, n_in), jnp.float32)  # d_pad = 16 < 128 lanes
-    with pytest.raises(ValueError, match="lane-aligned"):
-        quad_gather_blend_pallas(x, ic, wc, tp, ti, tw, small_spec.patch_w, interpret=True)
+def test_pallas_e2p_matches_xla(small_spec):
+    from omnifusion_tpu.ops.pallas_blend import quad_gather_blend_pallas_cl
+    from omnifusion_tpu.ops.sparse_blend import quad_gather_blend
+    from omnifusion_tpu.projection.spec import build_equi2pers_grids
+
+    grids = build_equi2pers_grids(small_spec)
+    n_erp = small_spec.erp_h * small_spec.erp_w
+    rng = np.random.default_rng(1)
+    # d = 43*3 = 129 exercises the pad-up-to-lane-multiple path
+    x = jnp.asarray(rng.random((43, n_erp, 3), dtype=np.float32))
+    ref = quad_gather_blend(x, grids.idx, grids.w4, small_spec.erp_w)
+    got = quad_gather_blend_pallas_cl(
+        x, grids.idx, grids.w4, small_spec.erp_w, interpret=True
+    )
+    assert got.shape == ref.shape and got.dtype == ref.dtype
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+
+def test_narrow_batch_falls_back_to_xla(small_spec):
+    # below one full 128-lane vector the wrapper must route to the XLA path
+    # (identical results either way; this pins that no pallas shapes leak in)
+    from omnifusion_tpu.projection.ops import equi2pers
+    from omnifusion_tpu.projection.spec import build_equi2pers_grids
+
+    grids = build_equi2pers_grids(small_spec)
+    x = jnp.asarray(
+        np.random.default_rng(2).random((2, small_spec.erp_h, small_spec.erp_w, 3), np.float32)
+    )
+    ref = equi2pers(x, grids)
+    got = equi2pers(x, grids, impl="pallas")  # d=6 -> fallback
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

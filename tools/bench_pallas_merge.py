@@ -92,6 +92,48 @@ def main():
         bench(f"xla_capped/{dt_name}", xla_path, DT[dt_name])
         bench(f"pallas/{dt_name}", pallas_path, DT[dt_name])
 
+    # equi2pers direction (channel-last, K=1)
+    from omnifusion_tpu.ops.pallas_blend import quad_gather_blend_pallas_cl
+    from omnifusion_tpu.ops.sparse_blend import quad_gather_blend
+    from omnifusion_tpu.projection.spec import build_equi2pers_grids
+
+    e2p = build_equi2pers_grids(spec)
+    n_erp = spec.erp_h * spec.erp_w
+
+    def e2p_xla(src):
+        return quad_gather_blend(src, e2p.idx, e2p.w4, spec.erp_w)
+
+    def e2p_pallas(src):
+        return quad_gather_blend_pallas_cl(src, e2p.idx, e2p.w4, spec.erp_w)
+
+    small_e = jnp.asarray(rng.random((64, n_erp, 3), dtype=np.float32))
+    err_e = float(jnp.abs(jax.jit(e2p_pallas)(small_e) - jax.jit(e2p_xla)(small_e)).max())
+    print(f"\ncheck e2p max|delta| = {err_e:.3e}", flush=True)
+    assert err_e < 1e-4, err_e
+
+    def bench_e(name, body, dtype):
+        @jax.jit
+        def run(seed):
+            x = (jnp.full((B, n_erp, 3), 0.5, jnp.float32) * seed).astype(dtype)
+
+            def step(s, _):
+                v = body(s).astype(jnp.float32).sum()
+                return (x.astype(jnp.float32) * (1.0 + 1e-12 * v)).astype(dtype), v
+
+            _, vals = jax.lax.scan(step, x, None, length=args.reps)
+            return vals.sum()
+
+        float(run(jnp.float32(1.0)))
+        t0 = time.perf_counter()
+        float(run(jnp.float32(1.001)))
+        dt = (time.perf_counter() - t0) / args.reps
+        print(f"{name:24s} {dt * 1000:8.2f} ms/call  (B={B})", flush=True)
+
+    for dt_name in args.dtypes.split(","):
+        print(f"\n-- e2p variants, dtype={dt_name}, D={B * 3} --")
+        bench_e(f"e2p_xla/{dt_name}", e2p_xla, DT[dt_name])
+        bench_e(f"e2p_pallas/{dt_name}", e2p_pallas, DT[dt_name])
+
 
 if __name__ == "__main__":
     main()
