@@ -46,7 +46,7 @@ class SphericalFusionIterative(nn.Module):
     # precision of the final merge gather; None = f32 (see confidence_merge)
     merge_dtype: Optional[jnp.dtype] = None
     # "pallas" = index-major Pallas blend-reduce for both projections (see SphericalFusion)
-    proj_impl: str = "xla"
+    kernel_impl: str = "xla"
 
     @nn.compact
     def __call__(self, rgb, train: bool = False, confidence: bool = False):
@@ -64,6 +64,7 @@ class SphericalFusionIterative(nn.Module):
             remat=self.remat,
             axis_name=self.axis_name,
             dtype=self.dtype,
+            kernel_impl=self.kernel_impl,
             name="trunk",
         )
         mlp1 = MlpPoints(axis_name=self.axis_name, dtype=self.dtype, name="mlp_points1")
@@ -73,22 +74,22 @@ class SphericalFusionIterative(nn.Module):
         # bandwidth-bound equi2pers gather then moves half the bytes)
         if self.dtype is not None:
             rgb = rgb.astype(self.dtype)
-        patches = equi2pers(rgb, grids_hr, impl=self.proj_impl)  # (B, P, h, w, 3)
+        patches = equi2pers(rgb, grids_hr, impl=self.kernel_impl)  # (B, P, h, w, 3)
 
         # pass 1: unit-sphere xyz embedding (spherical_model_iterative.py:315-319)
         pf = mlp1(grids_q.xyz, train=train)  # (P, h/4, w/4, 64)
         pred, conf = trunk(patches, pf[None], train=train)
-        preds = [confidence_merge(pred, conf, p2e, use_confidence=confidence, dtype=self.merge_dtype, impl=self.proj_impl)]
+        preds = [confidence_merge(pred, conf, p2e, use_confidence=confidence, dtype=self.merge_dtype, impl=self.kernel_impl)]
 
         # refinement passes: 3D point embedding from previous depth
         # (spherical_model_iterative.py:383-398)
         for _ in range(self.num_iters - 1):
-            depth_patches = equi2pers(preds[-1], grids_q, impl=self.proj_impl)  # (B, P, h/4, w/4, 1)
+            depth_patches = equi2pers(preds[-1], grids_q, impl=self.kernel_impl)  # (B, P, h/4, w/4, 1)
             points = grids_q.xyz[None] * depth_patches  # (B, P, h/4, w/4, 3)
             pf_i = mlp2(
                 points.reshape((-1,) + points.shape[2:]), train=train
             ).reshape(points.shape[:2] + (spec_q.patch_h, spec_q.patch_w, 64))
             pred, conf = trunk(patches, pf_i, train=train)
-            preds.append(confidence_merge(pred, conf, p2e, use_confidence=confidence, dtype=self.merge_dtype, impl=self.proj_impl))
+            preds.append(confidence_merge(pred, conf, p2e, use_confidence=confidence, dtype=self.merge_dtype, impl=self.kernel_impl))
 
         return preds

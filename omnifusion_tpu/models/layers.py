@@ -166,8 +166,17 @@ def max_pool_3x3_s2(x):
     )
 
 
-def resize_bilinear(x, size):
+def resize_bilinear(x, size, impl: str = "xla"):
     """torch F.interpolate(mode='bilinear', align_corners=False) in NHWC:
-    half-pixel-center linear resize (jax.image.resize semantics)."""
-    b, _, _, c = x.shape
+    half-pixel-center linear resize (jax.image.resize semantics).
+
+    impl="pallas" uses the fused 2x-upsample stencil kernel
+    (ops.pallas_resize) when the target is exactly 2x — one read + one
+    write instead of XLA's two re-tiling dot_general passes; falls back to
+    jax.image.resize for any other scale."""
+    b, h, w, c = x.shape
+    if impl == "pallas" and size == (2 * h, 2 * w):
+        from omnifusion_tpu.ops.pallas_resize import upsample2x_bilinear
+
+        return upsample2x_bilinear(x)
     return jax.image.resize(x, (b, size[0], size[1], c), method="bilinear")

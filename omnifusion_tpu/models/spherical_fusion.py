@@ -86,6 +86,8 @@ class DepthTrunk(nn.Module):
     encoder_stages: Optional[tuple] = None  # override = compile-bounded dryruns
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    # "pallas" = fused 2x-upsample stencil for the decoder resizes
+    kernel_impl: str = "xla"
 
     @nn.compact
     def __call__(self, patches, point_feat, train: bool = False):
@@ -143,7 +145,7 @@ class DepthTrunk(nn.Module):
                 )(tok_sp.reshape(b * p, hh, ww, 32))
 
         def up_stage(x, skip, c0, c1, name0, name1):
-            x = resize_bilinear(x, (skip.shape[1], skip.shape[2]))
+            x = resize_bilinear(x, (skip.shape[1], skip.shape[2]), impl=self.kernel_impl)
             x = ConvBnReLU(c0, name=name0, **kw)(x, train=train)
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
             return ConvBnReLU(c1, name=name1, **kw)(x, train=train)
@@ -152,7 +154,7 @@ class DepthTrunk(nn.Module):
         x = up_stage(x, l2, 128, 64, "de_conv1_0", "de_conv1_1")
         x = up_stage(x, l1, 64, 64, "de_conv2_0", "de_conv2_1")
         x = up_stage(x, conv1, 64, 32, "de_conv3_0", "de_conv3_1")
-        x = resize_bilinear(x, (h, w))
+        x = resize_bilinear(x, (h, w), impl=self.kernel_impl)
         x = ConvBnReLU(32, name="de_conv4_0", **kw)(x, train=train)
 
         # fused heads: both 3x3 convs read the same (B*P, h, w, 32) feature
@@ -233,7 +235,7 @@ class SphericalFusion(nn.Module):
     # "pallas" = index-major Pallas blend-reduce for BOTH projections
     # (single-chip throughput mode; auto-falls-back when batch*channel
     # doesn't fill a 128-lane vector)
-    proj_impl: str = "xla"
+    kernel_impl: str = "xla"
 
     @nn.compact
     def __call__(self, rgb, train: bool = False, confidence: bool = True):
@@ -250,7 +252,7 @@ class SphericalFusion(nn.Module):
         # halves its traffic, and the trunk consumes bf16 anyway
         if self.dtype is not None:
             rgb = rgb.astype(self.dtype)
-        patches = equi2pers(rgb, grids_hr, impl=self.proj_impl)  # (B, P, h, w, 3)
+        patches = equi2pers(rgb, grids_hr, impl=self.kernel_impl)  # (B, P, h, w, 3)
 
         # geometric embedding input: (center, rho=1, center) per patch pixel
         # at quarter resolution (spherical_model.py:245-251)
@@ -273,6 +275,7 @@ class SphericalFusion(nn.Module):
             encoder_stages=self.encoder_stages,
             axis_name=self.axis_name,
             dtype=self.dtype,
+            kernel_impl=self.kernel_impl,
             name="trunk",
         )(patches, pf[None], train=train)
 
@@ -282,5 +285,5 @@ class SphericalFusion(nn.Module):
             build_pers2equi_grids(spec),
             use_confidence=confidence,
             dtype=self.merge_dtype,
-            impl=self.proj_impl,
+            impl=self.kernel_impl,
         )

@@ -35,40 +35,50 @@ from omnifusion_tpu.ops.sparse_blend import _pad_leading
 
 
 def _blend_kernel(g_ref, w_ref, o_ref, *, K: int, D: int):
-    nb = o_ref.shape[0]
-    g = g_ref[:].reshape(nb, K, 4, D).astype(jnp.float32)
-    w = w_ref[:].reshape(nb, K, 4)
-    o_ref[:] = jnp.sum(g * w[..., None], axis=(1, 2)).astype(o_ref.dtype)
+    # Mosaic-friendly: no vector shape casts anywhere — the (K, 4) reduction
+    # unrolls into static slices (g) and lane-broadcast columns (w).  (An
+    # earlier (blk, K*4) -> (blk, K, 4, 1) reshape of the weights was
+    # rejected by infer-vector-layout on real TPU.)
+    acc = jnp.zeros(o_ref.shape, jnp.float32)
+    for k in range(K):
+        for q in range(4):
+            wcol = w_ref[:, k * 4 + q : k * 4 + q + 1]  # (blk, 1) f32
+            g = g_ref[k, :, q * D : (q + 1) * D].astype(jnp.float32)  # (blk, D)
+            acc = acc + g * wcol
+    o_ref[:] = acc.astype(o_ref.dtype)
 
 
 def blend_reduce(
-    g: jnp.ndarray,
+    g3: jnp.ndarray,
     w4: jnp.ndarray,
-    K: int,
     blk: int = 256,
-    interpret: bool = False,
+    interpret=None,
     out_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """(M=N_pad*K, 4*D) gather rows + (N_pad, K, 4) f32 weights ->
+    """(K, N_pad, 4*D) k-major gather rows + (N_pad, K, 4) f32 weights ->
     (N_pad, D) in ``out_dtype`` (accumulation is always f32 on the VPU)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    m, r = g.shape
+    if interpret is None:
+        # Mosaic only lowers on TPU; everywhere else (CPU test meshes, the
+        # driver's virtual-device dryrun) run the kernel interpreted
+        interpret = jax.default_backend() != "tpu"
+
+    k, n_pad, r = g3.shape
     d = r // 4
-    n_pad = m // K
-    assert n_pad % blk == 0 and m == n_pad * K, (g.shape, K, blk)
+    assert n_pad % blk == 0, (g3.shape, blk)
     return pl.pallas_call(
-        functools.partial(_blend_kernel, K=K, D=d),
+        functools.partial(_blend_kernel, K=k, D=d),
         out_shape=jax.ShapeDtypeStruct((n_pad, d), out_dtype),
         grid=(n_pad // blk,),
         in_specs=[
-            pl.BlockSpec((blk * K, r), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk, K * 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, blk, r), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, k * 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((blk, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(g, w4.reshape(n_pad, K * 4).astype(jnp.float32))
+    )(g3, w4.reshape(n_pad, k * 4).astype(jnp.float32))
 
 
 def _gather_blend_pixel_major(
@@ -104,9 +114,11 @@ def _gather_blend_pixel_major(
         idx = np.concatenate([idx, np.zeros((pad, k), idx.dtype)])
         w4 = np.concatenate([w4, np.zeros((pad, k, 4), w4.dtype)])
 
-    g = jnp.take(packed, idx.reshape(-1), axis=0)  # (N_pad*K, 4*D)
+    # k-major flattening: the kernel block sees slot k as a static leading
+    # index (no strided row access, no vector reshapes)
+    g = jnp.take(packed, idx.T.reshape(-1), axis=0).reshape(k, -1, packed.shape[1])
     out = blend_reduce(
-        g, jnp.asarray(w4), k, blk=blk, interpret=interpret, out_dtype=out_dtype
+        g, jnp.asarray(w4), blk=blk, interpret=interpret, out_dtype=out_dtype
     )
     out = out[:n_out]  # (N_out, D)
 
@@ -131,7 +143,7 @@ def quad_gather_blend_pallas(
     tail_w,
     row_stride: int,
     blk: int = 256,
-    interpret: bool = False,
+    interpret=None,
 ) -> jnp.ndarray:
     """Channel-first quad gather-blend with the Pallas blend-reduce.
 
@@ -153,7 +165,7 @@ def quad_gather_blend_pallas_cl(
     w4: np.ndarray,
     row_stride: int,
     blk: int = 256,
-    interpret: bool = False,
+    interpret=None,
 ) -> jnp.ndarray:
     """Channel-LAST wrapper: (B, N_in, C) -> (B, N_out, C).
 

@@ -29,10 +29,10 @@ def main():
         help="precision of the confidence-merge gather",
     )
     ap.add_argument(
-        "--proj_impl",
+        "--kernel_impl",
         choices=["xla", "pallas"],
         default="xla",
-        help="projection blend implementation (see SphericalFusion.proj_impl)",
+        help="projection blend implementation (see SphericalFusion.kernel_impl)",
     )
     args = ap.parse_args()
 
@@ -86,12 +86,12 @@ def main():
         return x.astype(cdt) if cdt is not None else x
 
     bench(
-        "equi2pers full-res", (B, h, w, 3), lambda x: equi2pers(maybe_cast(x), g_hr, impl=args.proj_impl).sum()
+        "equi2pers full-res", (B, h, w, 3), lambda x: equi2pers(maybe_cast(x), g_hr, impl=args.kernel_impl).sum()
     )
     bench(
         "merge (confidence)",
         (B, P, ph, ph, 1),
-        lambda x: confidence_merge(x, x * 0.5 + 0.2, p2e, dtype=mdt, impl=args.proj_impl).sum(),
+        lambda x: confidence_merge(x, x * 0.5 + 0.2, p2e, dtype=mdt, impl=args.kernel_impl).sum(),
     )
 
     trunk = DepthTrunk(dtype=cdt)
@@ -104,7 +104,7 @@ def main():
         lambda x: sum(o.sum() for o in trunk.apply(tv, x, pf, train=False)),
     )
 
-    model = SphericalFusion(spec=spec, dtype=cdt, merge_dtype=mdt, merge_impl=args.proj_impl)
+    model = SphericalFusion(spec=spec, dtype=cdt, merge_dtype=mdt, merge_impl=args.kernel_impl)
     rgb1 = jnp.zeros((1, h, w, 3))
     variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), rgb1))()
     bench(

@@ -76,6 +76,7 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--merge_dtype", choices=["f32", "bf16", "f16"], default="f32")
+    ap.add_argument("--kernel_impl", choices=["xla", "pallas"], default="xla")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--profile_dir", default=None)
@@ -105,7 +106,7 @@ def main():
         spec = ProjectionSpec.create((512, 1024), (128, 128), (80, 80), 4)
         cdt = jnp.bfloat16 if args.bf16 else None
         mdt = {"f32": None, "bf16": jnp.bfloat16, "f16": jnp.float16}[args.merge_dtype]
-        model = SphericalFusion(spec=spec, dtype=cdt, merge_dtype=mdt)
+        model = SphericalFusion(spec=spec, dtype=cdt, merge_dtype=mdt, kernel_impl=args.kernel_impl)
         rgb1 = jnp.zeros((1, 512, 1024, 3), jnp.float32)
         variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), rgb1))()
 
