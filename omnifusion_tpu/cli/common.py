@@ -82,6 +82,15 @@ def add_common_args(parser: argparse.ArgumentParser, train: bool):
         "costs ~3e-4 — tools/eval_merge_dtype.py; both time identically on "
         "TPU, tools/bench_merge_variants.py)",
     )
+    parser.add_argument(
+        "--kernel_impl",
+        default="xla",
+        choices=["xla", "pallas"],
+        help="compute-kernel implementation for the projection blends and "
+        "decoder upsamples: 'pallas' removes XLA's retile/relayout data "
+        "movement at wide batch (single-chip throughput mode; narrow "
+        "batches auto-fall-back per op)",
+    )
     parser.add_argument("--remat", action="store_true", help="rematerialize the encoder (saves HBM)")
     parser.add_argument(
         "--no_transformer",
@@ -203,6 +212,7 @@ def build_model(args):
         ],
         use_transformer=not getattr(args, "no_transformer", False),
         remat=getattr(args, "remat", False),
+        kernel_impl=getattr(args, "kernel_impl", "xla"),
     )
     if args.model == "iterative":
         return SphericalFusionIterative(num_iters=args.iters, **kw), spec
