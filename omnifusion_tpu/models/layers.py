@@ -175,7 +175,11 @@ def resize_bilinear(x, size, impl: str = "xla"):
     write instead of XLA's two re-tiling dot_general passes; falls back to
     jax.image.resize for any other scale."""
     b, h, w, c = x.shape
-    if impl == "pallas" and size == (2 * h, 2 * w):
+    # VMEM guard: the kernel holds one whole image block (input + 4x output
+    # + f32 interleave temporaries) per grid step; ~50 bytes/input-pixel is
+    # a conservative ceiling against the ~16 MB/core budget.  Larger images
+    # (e.g. the 256x256-patch config's final upsample) take the XLA path.
+    if impl == "pallas" and size == (2 * h, 2 * w) and 50 * h * w * c < 12e6:
         from omnifusion_tpu.ops.pallas_resize import upsample2x_bilinear
 
         return upsample2x_bilinear(x)

@@ -31,8 +31,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from omnifusion_tpu.ops.sparse_blend import _pad_leading
-
 
 def _blend_kernel(g_ref, w_ref, o_ref, *, K: int, D: int):
     # Mosaic-friendly: no vector shape casts anywhere — the (K, 4) reduction
@@ -90,11 +88,13 @@ def _gather_blend_pixel_major(
     yet from D)."""
     b, c, n_in = src_cf.shape
     s = src_cf.reshape(b * c, n_in)
-    s, d_pad = _pad_leading(s, 64)
-    if d_pad % 128:
-        extra = -d_pad % 128
-        s = jnp.concatenate([s, jnp.zeros((extra, n_in), s.dtype)], axis=0)
-        d_pad += extra
+    # pad D straight to a full 128-lane multiple (which also clears the XLA
+    # gather's 64-byte leading-dim fast-path gate by a wide margin)
+    d_pad = -(-(b * c) // 128) * 128
+    if d_pad > b * c:
+        s = jnp.concatenate(
+            [s, jnp.zeros((d_pad - b * c, n_in), s.dtype)], axis=0
+        )
     st = s.T  # layout-only: XLA assigns the pack's physical layout d-minor anyway
     packed = jnp.concatenate(
         [

@@ -94,7 +94,7 @@ def main():
         lambda x: confidence_merge(x, x * 0.5 + 0.2, p2e, dtype=mdt, impl=args.kernel_impl).sum(),
     )
 
-    trunk = DepthTrunk(dtype=cdt)
+    trunk = DepthTrunk(dtype=cdt, kernel_impl=args.kernel_impl)
     pz = jnp.zeros((1, P, ph, ph, 3))
     pf = jnp.zeros((1, P, ph // 4, ph // 4, 64))
     tv = jax.jit(lambda: trunk.init(jax.random.PRNGKey(0), pz, pf))()
@@ -104,7 +104,7 @@ def main():
         lambda x: sum(o.sum() for o in trunk.apply(tv, x, pf, train=False)),
     )
 
-    model = SphericalFusion(spec=spec, dtype=cdt, merge_dtype=mdt, merge_impl=args.kernel_impl)
+    model = SphericalFusion(spec=spec, dtype=cdt, merge_dtype=mdt, kernel_impl=args.kernel_impl)
     rgb1 = jnp.zeros((1, h, w, 3))
     variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), rgb1))()
     bench(

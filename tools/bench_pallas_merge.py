@@ -69,10 +69,10 @@ def main():
     print(f"check max|delta| = {err:.3e}", flush=True)
     assert err < 1e-4, err
 
-    def bench(name, body, dtype):
+    def bench(name, body, dtype, shape):
         @jax.jit
         def run(seed):
-            x = (jnp.full((B, C, n_in), 0.5, jnp.float32) * seed).astype(dtype)
+            x = (jnp.full(shape, 0.5, jnp.float32) * seed).astype(dtype)
 
             def step(s, _):
                 v = body(s).astype(jnp.float32).sum()
@@ -89,8 +89,8 @@ def main():
 
     for dt_name in args.dtypes.split(","):
         print(f"\n-- dtype={dt_name}, D={B * C} --")
-        bench(f"xla_capped/{dt_name}", xla_path, DT[dt_name])
-        bench(f"pallas/{dt_name}", pallas_path, DT[dt_name])
+        bench(f"xla_capped/{dt_name}", xla_path, DT[dt_name], (B, C, n_in))
+        bench(f"pallas/{dt_name}", pallas_path, DT[dt_name], (B, C, n_in))
 
     # equi2pers direction (channel-last, K=1)
     from omnifusion_tpu.ops.pallas_blend import quad_gather_blend_pallas_cl
@@ -111,28 +111,10 @@ def main():
     print(f"\ncheck e2p max|delta| = {err_e:.3e}", flush=True)
     assert err_e < 1e-4, err_e
 
-    def bench_e(name, body, dtype):
-        @jax.jit
-        def run(seed):
-            x = (jnp.full((B, n_erp, 3), 0.5, jnp.float32) * seed).astype(dtype)
-
-            def step(s, _):
-                v = body(s).astype(jnp.float32).sum()
-                return (x.astype(jnp.float32) * (1.0 + 1e-12 * v)).astype(dtype), v
-
-            _, vals = jax.lax.scan(step, x, None, length=args.reps)
-            return vals.sum()
-
-        float(run(jnp.float32(1.0)))
-        t0 = time.perf_counter()
-        float(run(jnp.float32(1.001)))
-        dt = (time.perf_counter() - t0) / args.reps
-        print(f"{name:24s} {dt * 1000:8.2f} ms/call  (B={B})", flush=True)
-
     for dt_name in args.dtypes.split(","):
         print(f"\n-- e2p variants, dtype={dt_name}, D={B * 3} --")
-        bench_e(f"e2p_xla/{dt_name}", e2p_xla, DT[dt_name])
-        bench_e(f"e2p_pallas/{dt_name}", e2p_pallas, DT[dt_name])
+        bench(f"e2p_xla/{dt_name}", e2p_xla, DT[dt_name], (B, n_erp, 3))
+        bench(f"e2p_pallas/{dt_name}", e2p_pallas, DT[dt_name], (B, n_erp, 3))
 
 
 if __name__ == "__main__":

@@ -20,7 +20,7 @@ import os
 import tempfile
 
 
-def parse_trace(profile_dir: str, top: int = 40):
+def parse_trace(profile_dir: str):
     """Aggregate device-lane op durations from the newest trace.json.gz.
 
     Returns (per_op, per_src, total_ms, path): per_op keys are HLO op names,
@@ -127,8 +127,9 @@ def main():
                 v += float(fwd(x))
         print(f"trace in {prof_dir} (checksum {v:.3f})")
 
-    per_op, per_src, total, path = parse_trace(prof_dir, args.top)
-    reps = 1 if args.parse_only else args.reps
+    per_op, per_src, total, path = parse_trace(prof_dir)
+    # --reps must match the original capture when re-parsing with --parse_only
+    reps = args.reps
     print(f"parsed {path}")
     print(f"total device op time: {total:.2f} ms ({total / reps:.2f} ms/rep)\n")
     print(f"== by source line ==\n{'source':48s} {'ms/rep':>9s}  {'%':>5s}  {'GB/s':>7s}")
