@@ -41,6 +41,7 @@ def run_training_sem(args) -> dict:
         num_classes=args.num_classes,
         use_transformer=not args.no_transformer,
         dtype=jnp.bfloat16 if args.bf16 else None,
+        kernel_impl=getattr(args, "kernel_impl", "xla"),
     )
 
     if args.dataset == "synthetic":

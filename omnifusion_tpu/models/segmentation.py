@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from omnifusion_tpu.models.spherical_fusion import DepthTrunk, MlpPoints
-from omnifusion_tpu.projection.ops import equi2pers, pers2equi
+from omnifusion_tpu.projection.ops import equi2pers, pers2equi_cf
 from omnifusion_tpu.projection.spec import (
     ProjectionSpec,
     build_equi2pers_grids,
@@ -36,6 +36,8 @@ class SphericalFusionSeg(nn.Module):
     remat: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    # "pallas" = index-major blend-reduce + fused upsamples (see SphericalFusion)
+    kernel_impl: str = "xla"
 
     @nn.compact
     def __call__(self, rgb, train: bool = False, confidence: bool = True):
@@ -50,7 +52,7 @@ class SphericalFusionSeg(nn.Module):
         # bandwidth-bound equi2pers gather then moves half the bytes)
         if self.dtype is not None:
             rgb = rgb.astype(self.dtype)
-        patches = equi2pers(rgb, grids_hr)
+        patches = equi2pers(rgb, grids_hr, impl=self.kernel_impl)
         centers = grids_q.centers
         geo = jnp.concatenate([centers, jnp.ones((p, 1), jnp.float32), centers], -1)
         geo = jnp.broadcast_to(
@@ -68,18 +70,31 @@ class SphericalFusionSeg(nn.Module):
             remat=self.remat,
             axis_name=self.axis_name,
             dtype=self.dtype,
+            kernel_impl=self.kernel_impl,
             name="trunk",
         )(patches, pf[None], train=train)
 
+        # channel-first merge, num/den PACKED into one pers2equi call
+        # (C = num_classes + 1) — one gather instead of two, no relayout
+        # transposes (same scheme as spherical_fusion.confidence_merge)
+        b = logits.shape[0]
+        nc = self.num_classes
         logits = logits.astype(jnp.float32)
         p2e = build_pers2equi_grids(spec)
+        lg_cf = logits.reshape(b, -1, nc).transpose(0, 2, 1)  # (B, C, N_in)
         if confidence:
-            conf = conf.astype(jnp.float32)
-            num = pers2equi(logits * conf, p2e)
-            den = pers2equi(conf, p2e)
+            conf_cf = conf.astype(jnp.float32).reshape(b, 1, -1)
+            merged = pers2equi_cf(
+                jnp.concatenate([lg_cf * conf_cf, conf_cf], axis=1),
+                p2e,
+                impl=self.kernel_impl,
+            )  # (B, C+1, H, W)
+            num = merged[:, :nc].transpose(0, 2, 3, 1)
+            den = merged[:, nc:].transpose(0, 2, 3, 1)
             zero = (den <= 1e-8).astype(jnp.float32)
             return num / (den + 1e-8 * zero)
-        return pers2equi(logits, p2e)
+        out = pers2equi_cf(lg_cf, p2e, impl=self.kernel_impl)
+        return out.transpose(0, 2, 3, 1)
 
 
 def cross_entropy_ignore(logits, labels, ignore_index: int = -1):

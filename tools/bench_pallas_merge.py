@@ -17,6 +17,13 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--channels", type=int, default=2)
     ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument(
+        "--only",
+        default="all",
+        choices=["all", "merge_pallas", "merge", "e2p"],
+        help="restrict which variants are timed (smaller graphs compile "
+        "inside short tunnel-up windows; correctness checks always run)",
+    )
     ap.add_argument("--dtypes", default="f16")
     ap.add_argument("--blk", type=int, default=256)
     args = ap.parse_args()
@@ -89,8 +96,10 @@ def main():
 
     for dt_name in args.dtypes.split(","):
         print(f"\n-- dtype={dt_name}, D={B * C} --")
-        bench(f"xla_capped/{dt_name}", xla_path, DT[dt_name], (B, C, n_in))
-        bench(f"pallas/{dt_name}", pallas_path, DT[dt_name], (B, C, n_in))
+        if args.only in ("all", "merge"):
+            bench(f"xla_capped/{dt_name}", xla_path, DT[dt_name], (B, C, n_in))
+        if args.only in ("all", "merge", "merge_pallas"):
+            bench(f"pallas/{dt_name}", pallas_path, DT[dt_name], (B, C, n_in))
 
     # equi2pers direction (channel-last, K=1)
     from omnifusion_tpu.ops.pallas_blend import quad_gather_blend_pallas_cl
@@ -112,6 +121,8 @@ def main():
     assert err_e < 1e-4, err_e
 
     for dt_name in args.dtypes.split(","):
+        if args.only not in ("all", "e2p"):
+            continue
         print(f"\n-- e2p variants, dtype={dt_name}, D={B * 3} --")
         bench(f"e2p_xla/{dt_name}", e2p_xla, DT[dt_name], (B, n_erp, 3))
         bench(f"e2p_pallas/{dt_name}", e2p_pallas, DT[dt_name], (B, n_erp, 3))

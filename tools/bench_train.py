@@ -43,7 +43,15 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--merge_dtype", choices=["f32", "bf16", "f16"], default="f32")
+    ap.add_argument("--kernel_impl", choices=["xla", "pallas"], default="xla")
     args = ap.parse_args()
+
+    from omnifusion_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+    )
 
     import jax
     import jax.numpy as jnp
@@ -54,7 +62,12 @@ def main():
 
     print(f"devices: {jax.devices()}", flush=True)
     spec = ProjectionSpec.create((512, 1024), (128, 128), (80, 80), nrows=4)
-    model = SphericalFusion(spec=spec, dtype=jnp.bfloat16 if args.bf16 else None)
+    model = SphericalFusion(
+        spec=spec,
+        dtype=jnp.bfloat16 if args.bf16 else None,
+        merge_dtype={"f32": None, "bf16": jnp.bfloat16, "f16": jnp.float16}[args.merge_dtype],
+        kernel_impl=args.kernel_impl,
+    )
 
     rng = np.random.default_rng(0)
     b = args.batch
