@@ -159,6 +159,102 @@ def quad_gather_blend_pallas(
     return out[:, : b * c].T.reshape(b, c, n_out)
 
 
+def _vjp_spread_kernel(g_ref, w_ref, o_ref, *, K: int, D: int):
+    # backward of the quad blend: each fetched cotangent row (D wide) is
+    # weighted into 4 corner planes — out[n, q*D:d] = sum_k w[n,k,q]*g[k,n,d]
+    for q in range(4):
+        acc = jnp.zeros((o_ref.shape[0], D), jnp.float32)
+        for k in range(K):
+            acc = acc + g_ref[k].astype(jnp.float32) * w_ref[:, k * 4 + q : k * 4 + q + 1]
+        o_ref[:, q * D : (q + 1) * D] = acc.astype(o_ref.dtype)
+
+
+def transposed_quad_gather_blend_pallas(
+    cot: jnp.ndarray,
+    idx_t: np.ndarray,
+    w_t: np.ndarray,
+    over_src,
+    over_dst,
+    over_w,
+    n_in: int,
+    row_stride: int,
+    channel_first: bool = False,
+    blk: int = 256,
+    interpret=None,
+) -> jnp.ndarray:
+    """Index-major Pallas backward: apply W^T to a cotangent.
+
+    Same transposed quad tables as sparse_blend.transposed_quad_gather_blend
+    (fan-in-capped dense + sorted-COO overflow, corner offsets recovered by
+    3 rolls), with the gather expressed index-major and the 4-plane weight
+    spread done in a kernel — no retile, no einsum operand copies.
+
+    cot: (B, N_out, C), or (B, C, N_out) when ``channel_first``.
+    Returns the source cotangent in the same convention.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    if channel_first:
+        b, c, n_out = cot.shape
+        g2 = cot.reshape(b * c, n_out)
+    else:
+        b, n_out, c = cot.shape
+        g2 = cot.transpose(0, 2, 1).reshape(b * c, n_out)
+    d = b * c
+    d_pad = -(-d // 128) * 128
+    if d_pad > d:
+        g2 = jnp.concatenate([g2, jnp.zeros((d_pad - d, n_out), g2.dtype)], axis=0)
+    ct = g2.T  # (N_out, D) index-major; layout-only
+
+    idx_t = np.asarray(idx_t)
+    w_t = np.asarray(w_t, np.float32)
+    n_rows, k_t = idx_t.shape
+    assert n_rows == n_in, (idx_t.shape, n_in)
+    pad = -n_in % blk
+    if pad:
+        idx_t = np.concatenate([idx_t, np.zeros((pad, k_t), idx_t.dtype)])
+        w_t = np.concatenate([w_t, np.zeros((pad, k_t, 4), w_t.dtype)])
+    n_pad = n_in + pad
+
+    g3 = jnp.take(ct, idx_t.T.reshape(-1), axis=0).reshape(k_t, n_pad, d_pad)
+    out4 = pl.pallas_call(
+        functools.partial(_vjp_spread_kernel, K=k_t, D=d_pad),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 4 * d_pad), jnp.float32),
+        grid=(n_pad // blk,),
+        in_specs=[
+            pl.BlockSpec((k_t, blk, d_pad), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, k_t * 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((blk, 4 * d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(g3, jnp.asarray(w_t.reshape(n_pad, k_t * 4)))
+    out4 = out4[:n_in]  # (N_in, 4D)
+
+    if over_src is not None and np.asarray(over_src).shape[0]:
+        vals = jnp.take(ct, jnp.asarray(over_src), axis=0)  # (M, D)
+        ow = jnp.asarray(np.asarray(over_w, np.float32))  # (M, 4)
+        contrib = (
+            vals.astype(jnp.float32)[:, None, :] * ow[:, :, None]
+        ).reshape(-1, 4 * d_pad)
+        out4 = out4 + jax.ops.segment_sum(
+            contrib, jnp.asarray(over_dst), num_segments=n_in, indices_are_sorted=True
+        )
+
+    # corner offsets [0, 1, W, W+1] recovered by rolls on the PIXEL axis
+    out = (
+        out4[:, :d_pad]
+        + jnp.roll(out4[:, d_pad : 2 * d_pad], 1, axis=0)
+        + jnp.roll(out4[:, 2 * d_pad : 3 * d_pad], row_stride, axis=0)
+        + jnp.roll(out4[:, 3 * d_pad :], row_stride + 1, axis=0)
+    )
+    out = out[:, :d].T.reshape(b, c, n_in)
+    return out if channel_first else out.transpose(0, 2, 1)
+
+
 def quad_gather_blend_pallas_cl(
     src_flat: jnp.ndarray,
     idx: np.ndarray,

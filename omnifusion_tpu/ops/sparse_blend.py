@@ -295,14 +295,18 @@ def quad_gather_blend_with_vjp(
                     src, idx_c, w_c, tail_pix, tail_idx, tail_w, row_stride
                 )
 
-            return _with_table_vjp(_forward, src_flat, vjp_tables, n_in, row_stride, True)
+            return _with_table_vjp(
+                _forward, src_flat, vjp_tables, n_in, row_stride, True, impl
+            )
         if b * c >= 128 and not channel_first and capped is None:
             from omnifusion_tpu.ops.pallas_blend import quad_gather_blend_pallas_cl
 
             def _forward(src):
                 return quad_gather_blend_pallas_cl(src, idx, w4, row_stride)
 
-            return _with_table_vjp(_forward, src_flat, vjp_tables, n_in, row_stride, False)
+            return _with_table_vjp(
+                _forward, src_flat, vjp_tables, n_in, row_stride, False, impl
+            )
 
     if capped is not None:
         idx_c, w_c, tail_pix, tail_idx, tail_w = capped
@@ -322,7 +326,9 @@ def quad_gather_blend_with_vjp(
     )
 
 
-def _with_table_vjp(_forward, src_flat, vjp_tables, n_in, row_stride, channel_first):
+def _with_table_vjp(
+    _forward, src_flat, vjp_tables, n_in, row_stride, channel_first, impl="xla"
+):
     @jax.custom_vjp
     def op(src):
         return _forward(src)
@@ -334,12 +340,27 @@ def _with_table_vjp(_forward, src_flat, vjp_tables, n_in, row_stride, channel_fi
 
     def bwd(_, cot):
         # tables materialize only when a backward is actually traced
-        idx_t, w_t, over_src, over_dst, over_w = (jnp.asarray(t) for t in vjp_tables)
-        out = transposed_quad_gather_blend(
-            cot, idx_t, w_t, over_src, over_dst, over_w, n_in, row_stride,
-            channel_first=channel_first,
-        )
-        # the pallas forward emits f32 from lower-precision sources; the
+        b = cot.shape[0]
+        c = cot.shape[1] if channel_first else cot.shape[2]
+        if impl == "pallas" and b * c >= 128:
+            from omnifusion_tpu.ops.pallas_blend import (
+                transposed_quad_gather_blend_pallas,
+            )
+
+            idx_t, w_t, over_src, over_dst, over_w = vjp_tables
+            out = transposed_quad_gather_blend_pallas(
+                cot, idx_t, w_t, over_src, over_dst, over_w, n_in, row_stride,
+                channel_first=channel_first,
+            )
+        else:
+            idx_t, w_t, over_src, over_dst, over_w = (
+                jnp.asarray(t) for t in vjp_tables
+            )
+            out = transposed_quad_gather_blend(
+                cot, idx_t, w_t, over_src, over_dst, over_w, n_in, row_stride,
+                channel_first=channel_first,
+            )
+        # the pallas paths emit f32 from lower-precision sources; the
         # cotangent must come back in the primal's dtype
         return (out.astype(src_dtype),)
 

@@ -56,6 +56,27 @@ def test_pallas_e2p_matches_xla(small_spec):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
 
 
+def test_pallas_backward_matches_xla(small_spec):
+    from omnifusion_tpu.projection.ops import equi2pers, pers2equi_cf
+    from omnifusion_tpu.projection.spec import build_equi2pers_grids
+
+    gp = build_pers2equi_grids(small_spec)
+    ge = build_equi2pers_grids(small_spec)
+    rng = np.random.default_rng(3)
+    n_in = small_spec.n_patches * small_spec.patch_h * small_spec.patch_w
+    x = jnp.asarray(rng.random((64, 2, n_in), dtype=np.float32))
+    g_ref = jax.grad(lambda x: (pers2equi_cf(x, gp) ** 2).sum())(x)
+    g_got = jax.grad(lambda x: (pers2equi_cf(x, gp, impl="pallas") ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), atol=1e-4)
+
+    xe = jnp.asarray(
+        rng.random((43, small_spec.erp_h, small_spec.erp_w, 3), dtype=np.float32)
+    )
+    h_ref = jax.grad(lambda x: (equi2pers(x, ge) ** 2).sum())(xe)
+    h_got = jax.grad(lambda x: (equi2pers(x, ge, impl="pallas") ** 2).sum())(xe)
+    np.testing.assert_allclose(np.asarray(h_got), np.asarray(h_ref), atol=1e-5)
+
+
 def test_narrow_batch_falls_back_to_xla(small_spec):
     # below one full 128-lane vector the wrapper must route to the XLA path
     # (identical results either way; this pins that no pallas shapes leak in)
