@@ -18,17 +18,27 @@ import os
 
 
 def _host_fingerprint() -> str:
+    # round-3 hardening: the flags line alone collided across this fleet's
+    # hosts (identical ISA lists, different XLA-detected feature sets ->
+    # cpu_aot_loader feature-mismatch warnings on load), so fold in the CPU
+    # identity lines and the jaxlib version (XLA:CPU's AOT format tracks it)
     try:
         with open("/proc/cpuinfo") as f:
             text = f.read()
-        flags = next(
-            (l for l in text.splitlines() if l.startswith(("flags", "Features"))), text[:4096]
-        )
+        keys = ("flags", "Features", "model name", "cpu family", "model\t", "stepping", "microcode")
+        lines = [l for l in text.splitlines()[:40] if l.startswith(keys)]
+        ident = "\n".join(lines) or text[:4096]
     except OSError:
         import platform
 
-        flags = f"{platform.machine()} {platform.processor()}"
-    return hashlib.sha256(flags.encode()).hexdigest()[:12]
+        ident = f"{platform.machine()} {platform.processor()}"
+    try:
+        from importlib.metadata import version  # no jax import
+
+        ident += "\njaxlib=" + version("jaxlib")
+    except Exception:
+        pass
+    return hashlib.sha256(ident.encode()).hexdigest()[:12]
 
 
 def host_cache_dir(base: str) -> str:
