@@ -26,9 +26,14 @@ def _host_fingerprint() -> str:
         with open("/proc/cpuinfo") as f:
             text = f.read()
         keys = ("flags", "Features", "model name", "cpu family", "model\t", "stepping", "microcode")
-        lines = [l for l in text.splitlines()[:40] if l.startswith(keys)]
-        ident = "\n".join(lines) or text[:4096]
+        # whole file, key lines only, deduped: raw bytes would fold in
+        # run-volatile lines ("cpu MHz", "bogomips") and make the key — and
+        # therefore the cache dir — unstable across runs on the same host
+        lines = sorted({l for l in text.splitlines() if l.startswith(keys)})
+        ident = "\n".join(lines)
     except OSError:
+        ident = ""
+    if not ident:
         import platform
 
         ident = f"{platform.machine()} {platform.processor()}"

@@ -47,11 +47,9 @@ def main():
     ap.add_argument("--kernel_impl", choices=["xla", "pallas"], default="xla")
     args = ap.parse_args()
 
-    from omnifusion_tpu.utils.compile_cache import enable_persistent_cache
+    from omnifusion_tpu.cli.common import apply_runtime_env
 
-    enable_persistent_cache(
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
-    )
+    apply_runtime_env()
 
     import jax
     import jax.numpy as jnp

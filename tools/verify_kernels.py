@@ -5,7 +5,9 @@ Runs every Pallas kernel (merge blend fwd, e2p blend fwd, transposed VJP,
 it against the XLA reference path.  Prints one PASS/FAIL line per kernel.
 
     python tools/verify_kernels.py            # real TPU via the tunnel
-    JAX_PLATFORMS=cpu python tools/verify_kernels.py   # interpret mode
+    python tools/verify_kernels.py --cpu      # interpret mode
+    JAX_PLATFORMS=cpu python tools/verify_kernels.py   # same (honored via
+                                              # cli.common.apply_runtime_env)
 """
 
 from __future__ import annotations
@@ -19,11 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    from omnifusion_tpu.utils.compile_cache import enable_persistent_cache
+    from omnifusion_tpu.cli.common import apply_runtime_env
 
-    enable_persistent_cache(
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
-    )
+    apply_runtime_env()
     import jax
     import jax.numpy as jnp
 
