@@ -32,6 +32,31 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _f16_bits_to_f32(x16):
+    """float16 riding as int16 BITS -> exact f32, integer-decoded on the VPU.
+
+    Mosaic has no f16 vector type (remote-compile rejects kernels with
+    'Unsupported type in mosaic dialect: f16'), so f16 operands enter the
+    kernel bitcast to int16 and the float decode happens here: normals by
+    exponent re-bias straight into f32 bits, subnormals exactly as
+    sign * m * 2^-24.  inf/nan are not decoded (the merge operands are
+    pred*conf <= MAX_DEPTH and conf <= 1 by construction, and the XLA
+    reference path would propagate them differently anyway)."""
+    x = x16.astype(jnp.int32) & 0xFFFF
+    s = x >> 15
+    e = (x >> 10) & 0x1F
+    m = x & 0x3FF
+    normal = jax.lax.bitcast_convert_type(
+        (s << 31) | ((e + 112) << 23) | (m << 13), jnp.float32
+    )
+    sub = (1 - 2 * s).astype(jnp.float32) * m.astype(jnp.float32) * jnp.float32(2.0**-24)
+    return jnp.where(e > 0, normal, sub)
+
+
+def _to_f32(v):
+    return _f16_bits_to_f32(v) if v.dtype == jnp.int16 else v.astype(jnp.float32)
+
+
 def _blend_kernel(g_ref, w_ref, o_ref, *, K: int, D: int):
     # Mosaic-friendly: no vector shape casts anywhere — the (K, 4) reduction
     # unrolls into static slices (g) and lane-broadcast columns (w).  (An
@@ -41,7 +66,7 @@ def _blend_kernel(g_ref, w_ref, o_ref, *, K: int, D: int):
     for k in range(K):
         for q in range(4):
             wcol = w_ref[:, k * 4 + q : k * 4 + q + 1]  # (blk, 1) f32
-            g = g_ref[k, :, q * D : (q + 1) * D].astype(jnp.float32)  # (blk, D)
+            g = _to_f32(g_ref[k, :, q * D : (q + 1) * D])  # (blk, D)
             acc = acc + g * wcol
     o_ref[:] = acc.astype(o_ref.dtype)
 
@@ -54,7 +79,10 @@ def blend_reduce(
     out_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """(K, N_pad, 4*D) k-major gather rows + (N_pad, K, 4) f32 weights ->
-    (N_pad, D) in ``out_dtype`` (accumulation is always f32 on the VPU)."""
+    (N_pad, D) in ``out_dtype`` (accumulation is always f32 on the VPU).
+
+    int16 gather rows are interpreted as float16 BITS and integer-decoded
+    in-kernel (mosaic has no f16 vector type)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -88,6 +116,10 @@ def _gather_blend_pixel_major(
     yet from D)."""
     b, c, n_in = src_cf.shape
     s = src_cf.reshape(b * c, n_in)
+    if s.dtype == jnp.float16:
+        # Mosaic can't type f16; ship the BITS (same-width bitcast is free,
+        # the gather is dtype-agnostic) and decode in-kernel (_f16_bits_to_f32)
+        s = jax.lax.bitcast_convert_type(s, jnp.int16)
     # pad D straight to a full 128-lane multiple (which also clears the XLA
     # gather's 64-byte leading-dim fast-path gate by a wide margin)
     d_pad = -(-(b * c) // 128) * 128
@@ -124,6 +156,8 @@ def _gather_blend_pixel_major(
 
     if tail_pix is not None and tail_pix.shape[0]:
         gt = jnp.take(packed, jnp.asarray(tail_idx), axis=0)  # (M, 4*D)
+        if gt.dtype == jnp.int16:  # f16 bits; XLA decodes fine outside mosaic
+            gt = jax.lax.bitcast_convert_type(gt, jnp.float16)
         tw = jnp.asarray(np.asarray(tail_w, np.float32))
         tv = jnp.sum(
             gt.reshape(-1, 4, d_pad).astype(jnp.float32) * tw[:, :, None], axis=1
@@ -198,6 +232,8 @@ def transposed_quad_gather_blend_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    if cot.dtype == jnp.float16:  # mosaic has no f16; exact upcast
+        cot = cot.astype(jnp.float32)
     if channel_first:
         b, c, n_out = cot.shape
         g2 = cot.reshape(b * c, n_out)
@@ -272,10 +308,12 @@ def quad_gather_blend_pallas_cl(
     """
     b, n_in, c = src_flat.shape
     src_cf = src_flat.transpose(0, 2, 1)  # same relayout the XLA path does
+    # mosaic can't type f16 output refs either: emit f32 and convert outside
+    out_dtype = jnp.float32 if src_flat.dtype == jnp.float16 else src_flat.dtype
     out = _gather_blend_pixel_major(
         src_cf, idx, w4, None, None, None, row_stride, blk, interpret,
-        out_dtype=src_flat.dtype,
-    )
+        out_dtype=out_dtype,
+    ).astype(src_flat.dtype)
     n_out = out.shape[0]
     out = out[:, : b * c].reshape(n_out, b, c)
     return out.transpose(1, 0, 2)

@@ -38,6 +38,38 @@ def test_pallas_matches_capped_xla(small_spec):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
 
 
+def test_pallas_f16_merge_matches_xla(small_spec):
+    # the promoted merge dtype: f16 sources ride the kernel as int16 BITS
+    # with an exact in-kernel integer decode (mosaic has no f16 type).
+    # Include f16-subnormal magnitudes (< 6.1e-5) so the decode's subnormal
+    # branch is exercised, plus negatives.
+    grids = build_pers2equi_grids(small_spec)
+    ic, wc, tp, ti, tw = grids.capped
+    n_in = small_spec.n_patches * small_spec.patch_h * small_spec.patch_w
+    rng = np.random.default_rng(5)
+    vals = (rng.random((64, 2, n_in)) - 0.25) * 8.0
+    vals[0, 0, : n_in // 4] = rng.random(n_in // 4) * 5e-5  # subnormals
+    x = jnp.asarray(vals.astype(np.float16))
+    ref = capped_quad_gather_blend(
+        x, ic, wc, tp, ti, tw, small_spec.patch_w, channel_first=True
+    )
+    got = quad_gather_blend_pallas(
+        x, ic, wc, tp, ti, tw, small_spec.patch_w, interpret=True
+    )
+    # convention (quad_gather_blend_with_vjp): the XLA path keeps the f16
+    # source dtype, the pallas path emits the f32 accumulator directly —
+    # consumers upcast, the custom VJP re-casts.  Compare values at the f16
+    # output-rounding tolerance the XLA reference carries.
+    assert got.dtype == jnp.float32 and ref.dtype == jnp.float16
+    # rtol+atol at the f16 rounding scale of the REFERENCE: the XLA path
+    # rounds its accumulation through f16 while the kernel accumulates the
+    # exactly-decoded values in f32, so near-zero weighted sums (negative
+    # and positive contributions cancelling) differ by up to ~2^-10 abs.
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref, dtype=np.float32), rtol=2e-3, atol=2e-3
+    )
+
+
 def test_pallas_e2p_matches_xla(small_spec):
     from omnifusion_tpu.ops.pallas_blend import quad_gather_blend_pallas_cl
     from omnifusion_tpu.ops.sparse_blend import quad_gather_blend
@@ -75,6 +107,44 @@ def test_pallas_backward_matches_xla(small_spec):
     h_ref = jax.grad(lambda x: (equi2pers(x, ge) ** 2).sum())(xe)
     h_got = jax.grad(lambda x: (equi2pers(x, ge, impl="pallas") ** 2).sum())(xe)
     np.testing.assert_allclose(np.asarray(h_got), np.asarray(h_ref), atol=1e-5)
+
+
+def test_model_pallas_f16_merge_matches_xla(small_spec):
+    # the headline merge path end to end: f16 merge + kernel_impl="pallas"
+    # vs the XLA path, same weights.  The f16 merge is the exact
+    # combination that failed to compile on the real chip before the
+    # in-kernel f16 decode (mosaic: "Unsupported type ... 'f16'") — the
+    # projection/merge wrappers must never hand mosaic an f16 ref.
+    from omnifusion_tpu.models import SphericalFusion
+
+    rng = np.random.default_rng(7)
+    rgb = jnp.asarray(
+        rng.random((64, small_spec.erp_h, small_spec.erp_w, 3), dtype=np.float32)
+    )
+    # f32 trunk isolates the kernel paths: with a bf16 trunk the two
+    # implementations see 1-ulp bf16 differences out of equi2pers that
+    # amplify through 20+ layers into percent-level output noise (observed
+    # 8% of pixels past 5e-3) — real-chip bf16 integration is covered by
+    # tools/bench_components.py's live cross-check instead.
+    kw = dict(
+        spec=small_spec,
+        merge_dtype=jnp.float16,
+        depth=2,
+        encoder_stages=((64, 1, 1), (128, 1, 2), (256, 1, 2), (512, 1, 2)),
+    )
+    m_xla = SphericalFusion(**kw)
+    variables = m_xla.init(jax.random.PRNGKey(0), rgb[:1])
+    ref = m_xla.apply(variables, rgb, train=False)
+    got = SphericalFusion(**kw, kernel_impl="pallas").apply(
+        variables, rgb, train=False
+    )
+    assert got.dtype == ref.dtype and got.shape == ref.shape
+    # identical weights and projections; differences = f16 accumulation
+    # rounding (XLA merge) vs exact-decode f32 accumulation (kernel),
+    # pushed through the confidence division
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=5e-3, atol=5e-3
+    )
 
 
 def test_narrow_batch_falls_back_to_xla(small_spec):

@@ -61,6 +61,16 @@ def main():
     gote = jax.jit(lambda x: equi2pers(x, ge, impl="pallas"))(xe)
     report("e2p blend fwd", float(jnp.abs(gote - refe).max()), 1e-5)
 
+    # the PROMOTED merge dtype: f16 rides the kernel as int16 bits with an
+    # exact in-kernel integer decode (mosaic rejects the f16 vector type).
+    # Reference = the f32 blend of the same (f16-rounded) values; tolerance
+    # covers the XLA f16 path's own accumulation rounding checked in
+    # tests/test_pallas_blend.py.
+    x16 = x.astype(jnp.float16)
+    ref16 = jax.jit(lambda x: pers2equi_cf(x.astype(jnp.float32), gp))(x16)
+    got16 = jax.jit(lambda x: pers2equi_cf(x, gp, impl="pallas"))(x16)
+    report("merge blend fwd f16", float(jnp.abs(got16.astype(jnp.float32) - ref16).max()), 2e-3)
+
     g_ref = jax.jit(jax.grad(lambda x: (pers2equi_cf(x, gp) ** 2).sum()))(x)
     g_got = jax.jit(jax.grad(lambda x: (pers2equi_cf(x, gp, impl="pallas") ** 2).sum()))(x)
     report("merge transposed bwd", float(jnp.abs(g_got - g_ref).max()), 1e-3)
