@@ -147,6 +147,41 @@ def test_model_pallas_f16_merge_matches_xla(small_spec):
     )
 
 
+def test_pallas_composes_with_mesh(small_spec):
+    # CLIs accept --kernel_impl pallas and --mesh together: the sharded
+    # train step must compile and run with the kernels in the graph
+    # (interpret mode here; GSPMD partitions around the blend calls).
+    from omnifusion_tpu.models import SphericalFusion
+    from omnifusion_tpu.parallel import batch_sharding, make_mesh
+    from omnifusion_tpu.training import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    model = SphericalFusion(
+        spec=small_spec,
+        merge_dtype=jnp.float16,
+        kernel_impl="pallas",
+        depth=2,
+        encoder_stages=((64, 1, 1), (128, 1, 2), (256, 1, 2), (512, 1, 2)),
+    )
+    mesh = make_mesh(n_data=4, n_model=2, devices=jax.devices())
+    rng = np.random.default_rng(11)
+    batch = {
+        "rgb": jnp.asarray(rng.random((64, 64, 128, 3), dtype=np.float32)),
+        "depth": jnp.asarray((rng.random((64, 64, 128, 1)) * 7 + 0.3).astype(np.float32)),
+        "mask": jnp.ones((64, 64, 128, 1), jnp.float32),
+    }
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), batch["rgb"][:1], make_optimizer(lr=1e-4)
+    )
+    with jax.set_mesh(mesh):
+        batch = jax.device_put(batch, batch_sharding(mesh))
+        state, metrics = make_train_step(model, donate=False)(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+
+
 def test_narrow_batch_falls_back_to_xla(small_spec):
     # below one full 128-lane vector the wrapper must route to the XLA path
     # (identical results either way; this pins that no pallas shapes leak in)
