@@ -179,7 +179,14 @@ def resize_bilinear(x, size, impl: str = "xla"):
     # + f32 interleave temporaries) per grid step; ~50 bytes/input-pixel is
     # a conservative ceiling against the ~16 MB/core budget.  Larger images
     # (e.g. the 256x256-patch config's final upsample) take the XLA path.
-    if impl == "pallas" and size == (2 * h, 2 * w) and 50 * h * w * c < 12e6:
+    # (f16 excluded: mosaic has no f16 vector type — see ops/pallas_blend;
+    # the trunk never runs f16, this is a guard for exotic configs)
+    if (
+        impl == "pallas"
+        and size == (2 * h, 2 * w)
+        and 50 * h * w * c < 12e6
+        and x.dtype != jnp.float16
+    ):
         from omnifusion_tpu.ops.pallas_resize import upsample2x_bilinear
 
         return upsample2x_bilinear(x)
