@@ -39,15 +39,19 @@ def _f16_bits_to_f32(x16):
     'Unsupported type in mosaic dialect: f16'), so f16 operands enter the
     kernel bitcast to int16 and the float decode happens here: normals by
     exponent re-bias straight into f32 bits, subnormals exactly as
-    sign * m * 2^-24.  inf/nan are not decoded (the merge operands are
-    pred*conf <= MAX_DEPTH and conf <= 1 by construction, and the XLA
-    reference path would propagate them differently anyway)."""
+    sign * m * 2^-24, e=31 re-biased to 255 so inf/nan propagate (the f16
+    quiet bit lands on the f32 quiet bit under m << 13).  Bit-exact over
+    ALL 65536 patterns vs numpy's f16->f32 convert
+    (tests/test_pallas_blend.py::test_f16_decode_exhaustive) — a diverging
+    head output that overflows f16 must blow up the same way on both
+    impls, not decode to finite garbage."""
     x = x16.astype(jnp.int32) & 0xFFFF
     s = x >> 15
     e = (x >> 10) & 0x1F
     m = x & 0x3FF
     normal = jax.lax.bitcast_convert_type(
-        (s << 31) | ((e + 112) << 23) | (m << 13), jnp.float32
+        (s << 31) | (jnp.where(e == 31, 255, e + 112) << 23) | (m << 13),
+        jnp.float32,
     )
     sub = (1 - 2 * s).astype(jnp.float32) * m.astype(jnp.float32) * jnp.float32(2.0**-24)
     return jnp.where(e > 0, normal, sub)
@@ -184,6 +188,15 @@ def quad_gather_blend_pallas(
     Same sparse map as sparse_blend.capped_quad_gather_blend (capped dense
     + sorted-COO tail), index-major formulation.  src (B, C, N_in) ->
     (B, C, N_out).
+
+    Dtype convention: the result is the kernel's f32 accumulator as-is —
+    for 16-bit sources this is MORE precise than the XLA path (which
+    rounds its output back to the source dtype), and consumers of the
+    merge (models.confidence_merge) upcast before the division anyway.
+    The custom VJP (sparse_blend._with_table_vjp) re-casts cotangents to
+    the primal dtype, so autodiff is unaffected.  Callers that key on the
+    output dtype must not: the XLA fallback below one lane vector keeps
+    the source dtype instead.
     """
     b, c, n_in = src_cf.shape
     out = _gather_blend_pixel_major(

@@ -277,7 +277,12 @@ def quad_gather_blend_with_vjp(
     lane-aligned batch*channel dim (multiple of 128); silently falls back to
     the XLA path otherwise (so callers can request it unconditionally).
     The custom VJP below serves both forwards, so autodiff never has to
-    differentiate through the kernel."""
+    differentiate through the kernel.
+
+    Dtype caveat for 16-bit sources: the pallas channel-first forward
+    returns the f32 accumulator (more precise; consumers upcast anyway)
+    while the XLA path — and therefore the narrow-batch fallback — keeps
+    the source dtype.  Don't key behavior on the output dtype."""
     n_in = src_flat.shape[2] if channel_first else src_flat.shape[1]
 
     if impl == "pallas":

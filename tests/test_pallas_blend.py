@@ -38,6 +38,23 @@ def test_pallas_matches_capped_xla(small_spec):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
 
 
+def test_f16_decode_exhaustive():
+    # every one of the 65536 f16 bit patterns — normals, subnormals, ±0,
+    # ±inf, nans — must decode bit-exactly to numpy's f16->f32 convert.
+    # (The merge-level test below can't see a broken subnormal or inf
+    # branch: those magnitudes vanish under its blend tolerance.)
+    from omnifusion_tpu.ops.pallas_blend import _f16_bits_to_f32
+
+    bits = np.arange(65536, dtype=np.uint16)
+    got = np.asarray(_f16_bits_to_f32(jnp.asarray(bits.view(np.int16))))
+    want = bits.view(np.float16).astype(np.float32)
+    nan = np.isnan(want)
+    assert np.isnan(got[nan]).all()
+    np.testing.assert_array_equal(
+        got[~nan].view(np.int32), want[~nan].view(np.int32)
+    )
+
+
 def test_pallas_f16_merge_matches_xla(small_spec):
     # the promoted merge dtype: f16 sources ride the kernel as int16 BITS
     # with an exact in-kernel integer decode (mosaic has no f16 type).
