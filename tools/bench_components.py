@@ -9,6 +9,11 @@ PERF_NOTES.md for why block_until_ready alone is insufficient).
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import time
 

@@ -11,6 +11,11 @@ by HLO name heuristics.  This is the measurement tool behind the
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import collections
 import glob
