@@ -1,0 +1,125 @@
+"""Run the round's on-chip measurement queue the moment the tunnel is up.
+
+The TPU tunnel in this environment goes down for hours at a stretch
+(CLAUDE.md); each queued measurement is therefore gated behind the cheap
+bench.py --canary probe and bounded by a per-step timeout, so a mid-queue
+outage skips cleanly to the next tunnel window instead of hanging.
+
+    python tools/run_measurement_queue.py                 # full queue
+    python tools/run_measurement_queue.py --only pallas   # name filter
+    python tools/run_measurement_queue.py --list
+
+Results append to tools/measurements.log (stdout+stderr per step, with
+timestamps and rc), which is the round's raw measurement record.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LOG = os.path.join(REPO, "tools", "measurements.log")
+
+# (name, argv, timeout_s) — timeouts include one cold compile of the step's
+# graphs on this host's cache; warm re-runs finish in a fraction.
+QUEUE = [
+    ("verify_kernels", ["tools/verify_kernels.py"], 600),
+    ("components_xla_b64", ["tools/bench_components.py", "--batch", "64",
+                            "--bf16", "--merge_dtype", "f16"], 600),
+    ("components_pallas_b64", ["tools/bench_components.py", "--batch", "64",
+                               "--bf16", "--merge_dtype", "f16",
+                               "--kernel_impl", "pallas"], 600),
+    ("resize_shootout", ["tools/bench_resize.py", "--batch", "64"], 420),
+    ("pallas_merge_micro", ["tools/bench_pallas_merge.py", "--batch", "64",
+                            "--dtypes", "f16,f32"], 420),
+    ("bench_headline", ["bench.py"], 900),
+    ("train_b8", ["tools/bench_train.py", "--batch", "8", "--bf16",
+                  "--merge_dtype", "f16"], 700),
+    ("train_b32", ["tools/bench_train.py", "--batch", "32", "--bf16",
+                   "--merge_dtype", "f16"], 700),
+]
+
+
+def log(line: str):
+    stamp = datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+    with open(LOG, "a") as f:
+        f.write(f"[{stamp}Z] {line}\n")
+    print(f"[{stamp}Z] {line}", flush=True)
+
+
+def canary_ok(timeout: float = 45.0) -> bool:
+    try:
+        rc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--canary"],
+            timeout=timeout, capture_output=True,
+        ).returncode
+        return rc == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def wait_for_tunnel(max_probes: int, sleep_s: float) -> bool:
+    for i in range(max_probes):
+        if canary_ok():
+            log(f"canary ok (probe {i + 1})")
+            return True
+        log(f"canary down (probe {i + 1}/{max_probes}); sleeping {sleep_s:.0f}s")
+        time.sleep(sleep_s)
+    return False
+
+
+def run_step(name: str, argv: list[str], timeout: float) -> bool:
+    log(f"=== {name}: {' '.join(argv)} (cap {timeout:.0f}s)")
+    t0 = time.time()
+    try:
+        proc = subprocess.run(
+            [sys.executable] + [os.path.join(REPO, argv[0])] + argv[1:],
+            timeout=timeout, capture_output=True, text=True, cwd=REPO,
+        )
+        body = proc.stdout + ("\n--- stderr ---\n" + proc.stderr if proc.returncode else "")
+        log(f"{name} rc={proc.returncode} in {time.time() - t0:.0f}s\n{body.strip()}")
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired as e:
+        out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+        log(f"{name} TIMED OUT after {timeout:.0f}s; partial output:\n{out.strip()}")
+        return False
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", help="substring filter on step names")
+    ap.add_argument("--list", action="store_true")
+    ap.add_argument("--max_probes", type=int, default=20,
+                    help="canary probes per step before skipping it")
+    ap.add_argument("--probe_sleep", type=float, default=120.0)
+    args = ap.parse_args()
+
+    steps = [s for s in QUEUE if not args.only or args.only in s[0]]
+    if args.list:
+        for name, argv, cap in steps:
+            print(f"{name:24s} {' '.join(argv)}  (cap {cap}s)")
+        return
+
+    results = {}
+    for name, argv, cap in steps:
+        if not wait_for_tunnel(args.max_probes, args.probe_sleep):
+            log(f"{name}: SKIPPED (tunnel never answered)")
+            results[name] = "skipped"
+            continue
+        ok = run_step(name, argv, cap)
+        if not ok and canary_ok():
+            # tunnel is up but the step failed: one retry catches transient
+            # mid-step drops; a second failure is a real bug, not weather.
+            ok = run_step(name + " (retry)", argv, cap)
+        results[name] = "ok" if ok else "FAILED"
+    log("QUEUE DONE: " + ", ".join(f"{k}={v}" for k, v in results.items()))
+    sys.exit(0 if all(v == "ok" for v in results.values()) else 1)
+
+
+if __name__ == "__main__":
+    main()
