@@ -9,6 +9,17 @@ bench attempts).  Keying the cache directory by a fingerprint of the host
 CPU makes foreign entries unreachable: a new host simply starts cold.
 
 Deliberately jax-free so it can be imported before jax initializes.
+
+Known benign noise: reloading any XLA:CPU AOT entry — including one this
+same host wrote seconds earlier — prints two ``cpu_aot_loader`` errors
+("Target machine feature +prefer-no-scatter/+prefer-no-gather is not
+supported on the host machine").  Those are compile-time tuning
+pseudo-features the runtime host-feature probe never reports, so the
+loader's feature-set comparison can never match on them (verified
+empirically: fresh cache dir, compile, reload in a new process on the
+same machine → same two lines, correct results).  Real poisoning shows as
+mismatches in actual ISA features (avx512*, amx-*) and SIGILL; the
+host-keyed directory prevents that case.
 """
 
 from __future__ import annotations
