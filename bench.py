@@ -53,10 +53,13 @@ def canary():
     print(f"canary ok: {jax.default_backend()} {v:.3f}", flush=True)
 
 
+WARM_MARKER = "bench_headline.warm"  # written by worker() after its compile
+
+
 def worker():
     from omnifusion_tpu.utils.compile_cache import enable_persistent_cache
 
-    enable_persistent_cache(CACHE_BASE)
+    cache_dir = enable_persistent_cache(CACHE_BASE)
     import jax
 
     import jax.numpy as jnp
@@ -92,6 +95,11 @@ def worker():
             return outs.sum()
 
         float(run(variables, x0, jnp.float32(1.0)))  # compile + warm-up
+        # the headline graph is now in this host's persistent cache; mark it
+        # so the orchestrator's warm/cold budgeting keys on THIS graph, not
+        # on whatever other tool happened to populate the shared cache dir
+        with open(os.path.join(cache_dir, WARM_MARKER), "w") as f:
+            f.write(f"{time.time():.0f}\n")
         t0 = time.perf_counter()
         float(run(variables, x0, jnp.float32(1.001)))
         return BATCH * ITERS / (time.perf_counter() - t0)
@@ -154,16 +162,12 @@ def main():
     from omnifusion_tpu.utils.compile_cache import host_cache_dir
 
     def cache_is_warm():
-        # the flagship b=64 executable is a ~50 MB cache entry; its presence
-        # is the warm/cold signal (self-correcting: a killed cold compile
-        # leaves no entry, so the next attempt gets the cold budget again)
-        d = host_cache_dir(CACHE_BASE)
-        try:
-            return any(
-                os.path.getsize(os.path.join(d, f)) > 10e6 for f in os.listdir(d)
-            )
-        except OSError:
-            return False
+        # the worker drops WARM_MARKER right after ITS graph compiles, so
+        # the warm/cold signal is specific to the headline executable — a
+        # >10 MB entry written by some other tool sharing the cache dir must
+        # not shrink a cold compile's budget (self-correcting: a killed cold
+        # compile never reaches the marker, so the next attempt stays cold)
+        return os.path.exists(os.path.join(host_cache_dir(CACHE_BASE), WARM_MARKER))
 
     budget = float(os.environ.get("BENCH_TIMEOUT_SECS", "900"))
     deadline = time.time() + budget
@@ -183,10 +187,14 @@ def main():
             time.sleep(min(10.0, max(0.0, deadline - time.time() - 30)))
             continue
         # --- full attempt ---
-        attempt += 1
         remaining = deadline - time.time()
         cap = 240.0 if cache_is_warm() else 500.0
-        per_attempt = max(min(remaining - 15, cap), 60.0)
+        per_attempt = min(remaining - 15, cap)
+        if per_attempt < 60.0:
+            # not enough budget left for a meaningful attempt; never run
+            # past the deadline (the emitter below still owns the last word)
+            break
+        attempt += 1
         rc, out, err = _run("--worker", timeout=per_attempt)
         lines = [l for l in out.splitlines() if l.startswith("{")]
         if rc == 0 and lines:
@@ -194,6 +202,13 @@ def main():
             return
         if rc is None:
             last_err = f"attempt {attempt} {err}"
+            # a timed-out "warm" attempt usually means the marker is stale
+            # (code changed since it was written -> new cache key -> cold
+            # compile under the warm cap); drop it so the retry budgets cold
+            try:
+                os.remove(os.path.join(host_cache_dir(CACHE_BASE), WARM_MARKER))
+            except OSError:
+                pass
         else:
             last_err = f"attempt {attempt} rc={rc}: {err.strip()[-300:]}"
             if rc < 0:

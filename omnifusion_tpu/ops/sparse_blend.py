@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _pad_leading(s: jnp.ndarray, min_bytes: int):
@@ -273,9 +274,12 @@ def quad_gather_blend_with_vjp(
 
     ``impl="pallas"``: run the forward through the index-major Pallas
     blend-reduce (ops.pallas_blend) — identical sparse map, no retile or
-    blend-einsum copies.  Requires channel_first, capped tables, and a
-    lane-aligned batch*channel dim (multiple of 128); silently falls back to
-    the XLA path otherwise (so callers can request it unconditionally).
+    blend-einsum copies.  Requires channel_first+capped tables (or
+    channel-last uncapped for the K=1 e2p shape), batch*channel >= 128
+    (the kernel pads D to lane width internally; below one full vector the
+    padding outweighs the saved movement), and kernel blocks that fit the
+    ~16 MB/core VMEM budget; silently falls back to the XLA path otherwise
+    (so callers can request it unconditionally).
     The custom VJP below serves both forwards, so autodiff never has to
     differentiate through the kernel.
 
@@ -288,9 +292,29 @@ def quad_gather_blend_with_vjp(
     if impl == "pallas":
         b = src_flat.shape[0]
         c = src_flat.shape[1] if channel_first else src_flat.shape[2]
+
+        def _vmem_ok(k_slots: int) -> bool:
+            # Per grid step the kernel holds (double-buffered) a
+            # (k, blk=256, 4*d_pad) gather block at source width, a
+            # (blk, 4k) f32 weight block, a (blk, d_pad) f32 output block,
+            # and ~2 blk x d_pad f32 decode/accumulate temporaries.  Gate
+            # against the ~16 MB/core VMEM budget; larger configs (wide
+            # batch x cap-K merges) take the XLA path instead of failing
+            # Mosaic compilation on the chip.
+            d_pad = -(-(b * c) // 128) * 128
+            isz = src_flat.dtype.itemsize
+            est = 2 * 256 * (k_slots * 4 * d_pad * isz + 4 * k_slots * 4 + d_pad * 4)
+            est += 2 * 256 * d_pad * 4
+            return est < 12e6
+
         # below one full 128-lane vector the kernel's lane padding outweighs
         # the removed data movement; stay on the XLA path
-        if b * c >= 128 and channel_first and capped is not None:
+        if (
+            b * c >= 128
+            and channel_first
+            and capped is not None
+            and _vmem_ok(np.asarray(capped[0]).shape[1])
+        ):
             from omnifusion_tpu.ops.pallas_blend import quad_gather_blend_pallas
 
             idx_c, w_c, tail_pix, tail_idx, tail_w = capped
@@ -303,7 +327,7 @@ def quad_gather_blend_with_vjp(
             return _with_table_vjp(
                 _forward, src_flat, vjp_tables, n_in, row_stride, True, impl
             )
-        if b * c >= 128 and not channel_first and capped is None:
+        if b * c >= 128 and not channel_first and capped is None and _vmem_ok(1):
             from omnifusion_tpu.ops.pallas_blend import quad_gather_blend_pallas_cl
 
             def _forward(src):

@@ -41,8 +41,6 @@ def main():
     )
     args = ap.parse_args()
 
-    import os
-
     from omnifusion_tpu.cli.common import apply_runtime_env
 
     apply_runtime_env()

@@ -22,7 +22,6 @@ data dependency, distinct inputs, materialized scalar — PERF_NOTES.md).
 from __future__ import annotations
 
 import argparse
-import functools
 import os
 import sys
 import time
@@ -48,6 +47,10 @@ def main():
         "TPU: minor dim 2 tiles to 128, 64x memory — see NOTE in source)",
     )
     args = ap.parse_args()
+
+    from omnifusion_tpu.cli.common import apply_runtime_env
+
+    apply_runtime_env()
 
     import jax
     import jax.numpy as jnp

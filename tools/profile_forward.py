@@ -21,7 +21,6 @@ import collections
 import glob
 import gzip
 import json
-import os
 import tempfile
 
 
