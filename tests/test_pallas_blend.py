@@ -212,3 +212,41 @@ def test_narrow_batch_falls_back_to_xla(small_spec):
     ref = equi2pers(x, grids)
     got = equi2pers(x, grids, impl="pallas")  # d=6 -> fallback
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_oversized_blocks_fall_back_to_xla(small_spec):
+    # configs whose kernel blocks would blow the ~16 MB/core VMEM budget
+    # (wide batch*channel x cap-K) must silently take the XLA path instead
+    # of failing Mosaic compilation on the real chip; f16 output dtype is
+    # the XLA-path signature (the pallas forward returns the f32
+    # accumulator — see quad_gather_blend_with_vjp's dtype caveat)
+    from omnifusion_tpu.projection.ops import pers2equi_cf
+
+    grids = build_pers2equi_grids(small_spec)
+    n_in = small_spec.n_patches * small_spec.patch_h * small_spec.patch_w
+    x = jnp.asarray(
+        np.random.default_rng(3).random((4096, 2, n_in)).astype(np.float16)
+    )
+    out = pers2equi_cf(x, grids, impl="pallas")
+    assert out.dtype == jnp.float16
+    ref = pers2equi_cf(x, grids)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_flagship_shape_stays_on_pallas():
+    # pins the guard's other side: the flagship merge (b*c=128, cap K) must
+    # keep routing to the kernel — its f32-accumulator output is the
+    # pallas-path signature for a 16-bit source
+    from omnifusion_tpu.ops.sparse_blend import quad_gather_blend_with_vjp
+    from omnifusion_tpu.projection.spec import build_pers2equi_grids
+
+    spec = ProjectionSpec.create((128, 256), (32, 32), (80, 80), nrows=4)
+    g = build_pers2equi_grids(spec)
+    assert g.capped is not None
+    n_in = spec.n_patches * spec.patch_h * spec.patch_w
+    x = jnp.asarray(np.random.default_rng(4).random((64, 2, n_in)).astype(np.float16))
+    out = quad_gather_blend_with_vjp(
+        x, g.idx, g.w4, spec.patch_w, g.vjp, capped=g.capped,
+        channel_first=True, impl="pallas",
+    )
+    assert out.dtype == jnp.float32
