@@ -1,6 +1,6 @@
 """Throughput sweep for the flagship one-shot model on a single chip.
 
-Sweeps batch size and precision mode (f32 / bf16 trunk / bf16 trunk+merge)
+Sweeps batch size and precision mode (f32 / bf16 trunk / 16-bit merges)
 to locate the panos/sec sweet spot; honest axon timing per PERF_NOTES.md.
 
     PYTHONPATH=/root/repo:$PYTHONPATH python tools/bench_sweep.py --batches 32,64,96
@@ -22,7 +22,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="32,64,96")
     ap.add_argument("--iters", type=int, default=4)
-    ap.add_argument("--modes", default="bf16,bf16_merge")
+    ap.add_argument("--modes", default="bf16,f16_merge")
+    ap.add_argument(
+        "--kernel_impl",
+        choices=["xla", "pallas"],
+        default="xla",
+        help="projection blend implementation (see SphericalFusion.kernel_impl)",
+    )
     ap.add_argument(
         "--model",
         default="oneshot",
@@ -30,6 +36,10 @@ def main():
         help="iterative = the reference's canonical eval protocol (iter 2)",
     )
     args = ap.parse_args()
+
+    from omnifusion_tpu.cli.common import apply_runtime_env
+
+    apply_runtime_env()
 
     import jax
     import jax.numpy as jnp
@@ -42,11 +52,13 @@ def main():
 
     if args.model == "iterative":
         def make(**kw):
-            m = SphericalFusionIterative(spec=spec, num_iters=2, **kw)
+            m = SphericalFusionIterative(
+                spec=spec, num_iters=2, kernel_impl=args.kernel_impl, **kw
+            )
             return m, (lambda v, x: m.apply(v, x, train=False)[-1])
     else:
         def make(**kw):
-            m = SphericalFusion(spec=spec, **kw)
+            m = SphericalFusion(spec=spec, kernel_impl=args.kernel_impl, **kw)
             return m, (lambda v, x: m.apply(v, x, train=False))
 
     m0, _ = make()
@@ -56,6 +68,8 @@ def main():
         "f32": make(),
         "bf16": make(dtype=jnp.bfloat16),
         "bf16_merge": make(dtype=jnp.bfloat16, merge_dtype=jnp.bfloat16),
+        # the promoted headline recipe (f16 merge, PERF_NOTES round 3)
+        "f16_merge": make(dtype=jnp.bfloat16, merge_dtype=jnp.float16),
     }
 
     for b in (int(x) for x in args.batches.split(",")):

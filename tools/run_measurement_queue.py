@@ -44,6 +44,10 @@ QUEUE = [
                   "--merge_dtype", "f16"], 700),
     ("train_b32", ["tools/bench_train.py", "--batch", "32", "--bf16",
                    "--merge_dtype", "f16"], 700),
+    # the reference's canonical eval protocol (iterative, 2 iterations) at
+    # a throughput batch — completes the parity-perf story
+    ("iterative_b32", ["tools/bench_sweep.py", "--model", "iterative",
+                       "--modes", "f16_merge", "--batches", "32"], 700),
 ]
 
 
