@@ -48,6 +48,15 @@ QUEUE = [
     # a throughput batch — completes the parity-perf story
     ("iterative_b32", ["tools/bench_sweep.py", "--model", "iterative",
                        "--modes", "f16_merge", "--batches", "32"], 700),
+    # follow-ons once the pallas forward numbers exist: does the index-major
+    # backward help the train step, and where does the pallas forward's
+    # remaining device time live (source-attributed xplane)?
+    ("xtra_train_b32_pallas", ["tools/bench_train.py", "--batch", "32",
+                               "--bf16", "--merge_dtype", "f16",
+                               "--kernel_impl", "pallas"], 700),
+    ("xtra_profile_pallas_b64", ["tools/profile_forward.py", "--batch", "64",
+                                 "--bf16", "--merge_dtype", "f16",
+                                 "--kernel_impl", "pallas"], 700),
 ]
 
 
