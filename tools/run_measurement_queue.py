@@ -57,6 +57,9 @@ QUEUE = [
     ("xtra_profile_pallas_b64", ["tools/profile_forward.py", "--batch", "64",
                                  "--bf16", "--merge_dtype", "f16",
                                  "--kernel_impl", "pallas"], 700),
+    # HBM stream + random-gather calibration feeding the speed-of-light
+    # floor table (tools/sol_model.py, the VERDICT-r2 #4 floor statement)
+    ("xtra_sol_calibrate", ["tools/sol_model.py", "--calibrate"], 500),
 ]
 
 

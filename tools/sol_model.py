@@ -1,0 +1,241 @@
+"""Speed-of-light model for the flagship forward (the VERDICT-r2 #4 floor).
+
+Answers "how fast CAN this forward go on this chip" with arithmetic, not
+vibes, so the measured number can be judged against a floor with the same
+rigor as the windowed-gather negative result:
+
+  * per-stage BYTE accounting — both the algorithmic floor (read every
+    input once, write every output once) and what the current
+    implementation actually moves — computed from the REAL projection
+    tables (capped dense + COO tail sizes, lane padding) and the REAL
+    decoder shapes (captured by shape-recording wrappers under
+    jax.eval_shape, so the table can never drift from the model);
+  * model FLOPs from XLA cost analysis (compiled at batch 1, scaled —
+    FLOPs are linear in batch);
+  * floors at the chip's CALIBRATED rates: the 168 TFLOP/s chained-matmul
+    MXU calibration (PERF_NOTES.md) and a streaming-HBM calibration this
+    tool measures on the real chip (``--calibrate``: saxpy over ~2 GB,
+    device-time protocol).  Gathers additionally get the MEASURED
+    random-row gather bandwidth (``--calibrate`` too) because random
+    access has its own ceiling below streaming HBM.
+
+CPU-safe by default (the accounting and cost analysis need no TPU);
+``--calibrate`` requires the chip and prints the two bandwidth lines to
+paste into the table header.
+
+Reference scope note: the upstream repo has no performance model at all
+(SURVEY.md §6); this is part of the TPU rebuild's perf-first story.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+import time
+
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+
+from omnifusion_tpu.cli.common import apply_runtime_env  # noqa: E402
+
+MXU_TFLOPS = 168.0  # chained-matmul calibration, PERF_NOTES.md
+# streaming-HBM / random-gather calibrations measured by --calibrate on
+# 2026-08-18 (v5e); re-run --calibrate and update when the chip changes.
+STREAM_GBS = None  # filled from --stream_gbs or the constant below
+DEFAULT_STREAM_GBS = 700.0  # conservative pre-calibration placeholder
+DEFAULT_GATHER_GBS = 260.0  # measured merge-gather rate (xplane, PERF_NOTES)
+
+
+def _pad(n, m):
+    return -(-n // m) * m
+
+
+def calibrate():
+    apply_runtime_env()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    n = 1 << 28  # 1 GiB f32
+    x = jnp.asarray(np.random.default_rng(0).random(n, np.float32))
+
+    @jax.jit
+    def stream(x, s):
+        def step(v, _):
+            return v * s + jnp.float32(1.0), v[0]
+
+        v, outs = jax.lax.scan(step, x, None, length=4)
+        return outs.sum() + v[1]
+
+    float(stream(x, jnp.float32(1.0)))  # compile+warm
+    t0 = time.perf_counter()
+    float(stream(x, jnp.float32(1.0000001)))
+    dt = time.perf_counter() - t0
+    gbs = 4 * (2 * x.nbytes) / dt / 1e9  # read + write per scan step
+    print(f"stream: {gbs:.1f} GB/s  ({dt*1e3:.1f} ms for 4x saxpy over 1 GiB)")
+
+    rows, width = 1 << 20, 512  # 1 Gi of f16 rows, merge-gather shaped
+    src = jnp.asarray(
+        np.random.default_rng(1).random((rows, width), np.float32).astype(np.float16)
+    )
+    idx = jnp.asarray(np.random.default_rng(2).integers(0, rows, rows, np.int32))
+
+    @jax.jit
+    def gath(src, idx, s):
+        def step(acc, _):
+            g = jnp.take(src, idx + acc.astype(jnp.int32) % 2, axis=0)
+            return acc + g.astype(jnp.float32).sum() * s, ()
+
+        acc, _ = jax.lax.scan(step, jnp.float32(0.0), None, length=4)
+        return acc
+
+    float(gath(src, idx, jnp.float32(0.0)))
+    t0 = time.perf_counter()
+    float(gath(src, idx, jnp.float32(1e-30)))
+    dt = time.perf_counter() - t0
+    ggbs = 4 * src.nbytes / dt / 1e9
+    print(f"gather: {ggbs:.1f} GB/s  (random f16 rows of {width*2} B)")
+    return gbs, ggbs
+
+
+def account(batch: int, stream_gbs: float, gather_gbs: float):
+    apply_runtime_env()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # accounting never needs the chip
+    import jax.numpy as jnp
+    import numpy as np
+
+    import omnifusion_tpu.models.spherical_fusion as sf
+    from omnifusion_tpu.projection import ProjectionSpec
+    from omnifusion_tpu.projection.spec import (
+        build_equi2pers_grids,
+        build_pers2equi_grids,
+    )
+
+    spec = ProjectionSpec.create((512, 1024), (128, 128), (80, 80), nrows=4)
+    g_e2p = build_equi2pers_grids(spec)
+    g_p2e = build_pers2equi_grids(spec)
+
+    B, H, W = batch, spec.erp_h, spec.erp_w
+    P, h, w = spec.n_patches, spec.patch_h, spec.patch_w
+    n_erp, n_pp = H * W, P * h * w
+
+    # --- capture decoder resize shapes under eval_shape ---
+    resizes = []
+    orig_resize = sf.resize_bilinear
+
+    def rec_resize(x, size, impl="xla"):
+        out = orig_resize(x, size, impl="xla")
+        resizes.append((tuple(x.shape), tuple(out.shape), x.dtype))
+        return out
+
+    sf.resize_bilinear = rec_resize
+    try:
+        model = sf.SphericalFusion(spec=spec, dtype=jnp.bfloat16, merge_dtype=jnp.float16)
+        rgb = jax.ShapeDtypeStruct((B, H, W, 3), jnp.float32)
+        var_shapes = jax.eval_shape(lambda r: model.init(jax.random.PRNGKey(0), r), rgb)
+        resizes.clear()  # init traces the forward too — count apply's only
+        jax.eval_shape(
+            lambda v, r: model.apply(v, r, train=False), var_shapes, rgb
+        )
+    finally:
+        sf.resize_bilinear = orig_resize
+
+    # --- FLOPs: XLA cost analysis at batch 1, scaled (linear in batch) ---
+    rgb1 = jnp.zeros((1, H, W, 3), jnp.float32)
+    v1 = jax.jit(lambda: model.init(jax.random.PRNGKey(0), rgb1))()
+    comp = jax.jit(lambda v, r: model.apply(v, r, train=False)).lower(v1, rgb1).compile()
+    ca = comp.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    flops = float(ca["flops"]) * B
+
+    rows = []  # (stage, floor_bytes, impl_bytes, note)
+
+    # equi2pers: bf16 source (model casts before the projection)
+    d = B * 3
+    d_pad = _pad(d, 128)
+    n_out_pad = _pad(n_pp, 256)
+    e2p_floor = (B * 3 * n_erp + B * 3 * n_pp) * 2
+    e2p_impl = (
+        B * 3 * n_erp * 2  # pack reads the source
+        + n_erp * 4 * d_pad * 2  # pack writes 4 corner blocks, lane-padded
+        + n_out_pad * 4 * d_pad * 2  # gather reads one quad row per pixel
+        + n_out_pad * d_pad * 2  # kernel writes (N, D)
+        + 2 * n_out_pad * d_pad * 2  # channel-last transpose read+write
+    )
+    rows.append(("equi2pers (pallas impl)", e2p_floor, e2p_impl, "gather-rate bound"))
+
+    # merge: f16 gather, f32 kernel output, capped dense + COO tail
+    idx_c, w_c, tail_pix, tail_idx, tail_w = g_p2e.capped
+    cap, m_tail = idx_c.shape[1], int(np.asarray(tail_pix).shape[0])
+    d = B * 2
+    d_pad = _pad(d, 128)
+    n_out_pad = _pad(n_erp, 256)
+    mrg_floor = B * 2 * n_pp * 2 + B * n_erp * 4
+    mrg_impl = (
+        B * 2 * n_pp * 2  # pack reads pred*conf / conf planes
+        + n_pp * 4 * d_pad * 2  # pack writes quad blocks
+        + cap * n_out_pad * 4 * d_pad * 2  # capped dense gather rows
+        + m_tail * 4 * d_pad * 2  # COO tail rows
+        + n_out_pad * cap * 4 * 4  # f32 weights
+        + n_out_pad * d_pad * 4  # kernel writes f32
+        + 3 * B * n_erp * 4  # num/den read + depth write (f32 division)
+    )
+    rows.append(
+        (f"merge (cap={cap}, tail={m_tail})", mrg_floor, mrg_impl, "gather-rate bound")
+    )
+
+    # decoder resizes: floor = in+out once; XLA's separable 2-pass writes
+    # and re-reads the half-resized intermediate
+    rs_floor = rs_xla = 0
+    for (bi, hi, wi, ci), (_, ho, wo, co), dt in resizes:
+        el = 2 if dt == jnp.bfloat16 else 4
+        a, mid, b_ = bi * hi * wi * ci, bi * ho * wi * ci, bi * ho * wo * co
+        rs_floor += (a + b_) * el
+        rs_xla += (a + 2 * mid + b_) * el
+    rows.append((f"decoder resizes x{len(resizes)} (pallas=floor)", rs_floor, rs_floor, "stream-rate"))
+    rows.append(("decoder resizes (XLA 2-pass)", rs_floor, rs_xla, "stream-rate"))
+
+    mxu_ms = flops / (MXU_TFLOPS * 1e12) * 1e3
+    print(f"batch {B}, flagship 512x1024/p128/f80/n4, bf16 trunk + f16 merge")
+    print(f"model FLOPs (XLA cost analysis): {flops/1e12:.2f} TFLOP "
+          f"-> MXU floor {mxu_ms:.1f} ms at {MXU_TFLOPS:.0f} TFLOP/s")
+    print(f"rates: stream {stream_gbs:.0f} GB/s, random-gather {gather_gbs:.0f} GB/s\n")
+    print(f"{'stage':38s} {'floor MB':>9s} {'floor ms':>9s} {'impl MB':>9s} {'impl ms':>9s}")
+    tot_floor = tot_impl = 0.0
+    for name, fb, ib, kind in rows:
+        rate = gather_gbs if kind.startswith("gather") else stream_gbs
+        fms, ims = fb / (stream_gbs * 1e6), ib / (rate * 1e6)
+        if "XLA 2-pass" not in name:
+            tot_floor += fms
+            tot_impl += ims
+        print(f"{name:38s} {fb/1e6:9.0f} {fms:9.2f} {ib/1e6:9.0f} {ims:9.2f}")
+    print(f"\nnon-trunk HBM floor {tot_floor:.1f} ms / current-impl bound "
+          f"{tot_impl:.1f} ms;  + MXU floor {mxu_ms:.1f} ms (overlaps with the"
+          " trunk's own HBM time, not with the projection stages)")
+    print(json.dumps({
+        "flops_t": round(flops / 1e12, 3),
+        "mxu_floor_ms": round(mxu_ms, 2),
+        "nontrunk_floor_ms": round(tot_floor, 2),
+        "nontrunk_impl_bound_ms": round(tot_impl, 2),
+    }))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--calibrate", action="store_true", help="measure HBM rates (TPU)")
+    ap.add_argument("--stream_gbs", type=float, default=DEFAULT_STREAM_GBS)
+    ap.add_argument("--gather_gbs", type=float, default=DEFAULT_GATHER_GBS)
+    args = ap.parse_args()
+    if args.calibrate:
+        s, g = calibrate()
+        account(args.batch, s, g)
+    else:
+        account(args.batch, args.stream_gbs, args.gather_gbs)
+
+
+if __name__ == "__main__":
+    main()
