@@ -122,26 +122,36 @@ def account(batch: int, stream_gbs: float, gather_gbs: float):
     P, h, w = spec.n_patches, spec.patch_h, spec.patch_w
     n_erp, n_pp = H * W, P * h * w
 
-    # --- capture decoder resize shapes under eval_shape ---
+    # --- capture decoder resize + every conv's shapes under eval_shape ---
     resizes = []
+    convs = []
     orig_resize = sf.resize_bilinear
+    orig_conv = jax.lax.conv_general_dilated
 
     def rec_resize(x, size, impl="xla"):
         out = orig_resize(x, size, impl="xla")
         resizes.append((tuple(x.shape), tuple(out.shape), x.dtype))
         return out
 
+    def rec_conv(lhs, rhs, *a, **kw):
+        out = orig_conv(lhs, rhs, *a, **kw)
+        convs.append((tuple(lhs.shape), tuple(rhs.shape), tuple(out.shape), lhs.dtype))
+        return out
+
     sf.resize_bilinear = rec_resize
+    jax.lax.conv_general_dilated = rec_conv
     try:
         model = sf.SphericalFusion(spec=spec, dtype=jnp.bfloat16, merge_dtype=jnp.float16)
         rgb = jax.ShapeDtypeStruct((B, H, W, 3), jnp.float32)
         var_shapes = jax.eval_shape(lambda r: model.init(jax.random.PRNGKey(0), r), rgb)
         resizes.clear()  # init traces the forward too — count apply's only
+        convs.clear()
         jax.eval_shape(
             lambda v, r: model.apply(v, r, train=False), var_shapes, rgb
         )
     finally:
         sf.resize_bilinear = orig_resize
+        jax.lax.conv_general_dilated = orig_conv
 
     # --- FLOPs: XLA cost analysis at batch 1, scaled (linear in batch) ---
     rgb1 = jnp.zeros((1, H, W, 3), jnp.float32)
@@ -198,8 +208,28 @@ def account(batch: int, stream_gbs: float, gather_gbs: float):
     rows.append((f"decoder resizes x{len(resizes)} (pallas=floor)", rs_floor, rs_floor, "stream-rate"))
     rows.append(("decoder resizes (XLA 2-pass)", rs_floor, rs_xla, "stream-rate"))
 
+    # --- conv roofline: per-conv floor and a lane-aware achievable estimate.
+    # The MXU contracts over K = kh*kw*Cin rows and emits Cout lanes; a conv
+    # with K or Cout below 128 leaves that fraction of the array idle (an
+    # ESTIMATE of XLA's realized tiling, not a bound — the eff=1 column is
+    # the bound).  Bytes = activations in + out + weights, once each.
+    conv_floor_ms = conv_est_ms = conv_flops = conv_bytes = 0.0
+    for lhs, rhs, out, dt in convs:
+        el = 2 if dt == jnp.bfloat16 else 4
+        kh, kw, cin, cout = rhs
+        fl = 2.0 * math.prod(out) * kh * kw * cin  # shapes traced at batch B
+        by = (math.prod(lhs) + math.prod(out)) * el + math.prod(rhs) * 4
+        eff = min(1.0, kh * kw * cin / 128.0) * min(1.0, cout / 128.0)
+        conv_floor_ms += max(fl / (MXU_TFLOPS * 1e9), by / (stream_gbs * 1e6))
+        conv_est_ms += max(fl / (MXU_TFLOPS * 1e9 * eff), by / (stream_gbs * 1e6))
+        conv_flops += fl
+        conv_bytes += by
+
     mxu_ms = flops / (MXU_TFLOPS * 1e12) * 1e3
     print(f"batch {B}, flagship 512x1024/p128/f80/n4, bf16 trunk + f16 merge")
+    print(f"convs: {len(convs)} ops, {conv_flops/1e12:.2f} TFLOP, "
+          f"{conv_bytes/1e9:.2f} GB -> roofline floor {conv_floor_ms:.1f} ms, "
+          f"lane-aware estimate {conv_est_ms:.1f} ms")
     print(f"model FLOPs (XLA cost analysis): {flops/1e12:.2f} TFLOP "
           f"-> MXU floor {mxu_ms:.1f} ms at {MXU_TFLOPS:.0f} TFLOP/s")
     print(f"rates: stream {stream_gbs:.0f} GB/s, random-gather {gather_gbs:.0f} GB/s\n")
