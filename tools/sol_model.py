@@ -103,7 +103,10 @@ def account(batch: int, stream_gbs: float, gather_gbs: float):
     apply_runtime_env()
     import jax
 
-    jax.config.update("jax_platforms", "cpu")  # accounting never needs the chip
+    try:  # accounting never needs the chip; after --calibrate the TPU
+        jax.config.update("jax_platforms", "cpu")  # backend is already live
+    except RuntimeError:  # and the update may be rejected — any backend works
+        pass
     import jax.numpy as jnp
     import numpy as np
 
