@@ -85,11 +85,14 @@ def add_common_args(parser: argparse.ArgumentParser, train: bool):
     parser.add_argument(
         "--kernel_impl",
         default="xla",
-        choices=["xla", "pallas"],
+        choices=["xla", "pallas", "pallas_full"],
         help="compute-kernel implementation for the projection blends and "
         "decoder upsamples: 'pallas' removes XLA's retile/relayout data "
         "movement at wide batch (single-chip throughput mode; narrow "
-        "batches auto-fall-back per op)",
+        "batches auto-fall-back per op; gradients stay on the verified XLA "
+        "transposed-table path).  'pallas_full' additionally routes the "
+        "BACKWARD through the Pallas transposed kernel — use only behind a "
+        "green tools/verify_kernels.py run on your chip",
     )
     parser.add_argument("--remat", action="store_true", help="rematerialize the encoder (saves HBM)")
     parser.add_argument(

@@ -170,24 +170,23 @@ def resize_bilinear(x, size, impl: str = "xla"):
     """torch F.interpolate(mode='bilinear', align_corners=False) in NHWC:
     half-pixel-center linear resize (jax.image.resize semantics).
 
-    impl="pallas" uses the fused 2x-upsample stencil kernel
-    (ops.pallas_resize) when the target is exactly 2x — one read + one
-    write instead of XLA's two re-tiling dot_general passes; falls back to
-    jax.image.resize for any other scale."""
+    impl="pallas" (or "pallas_full") uses the fused 2x-upsample stencil
+    kernel (ops.pallas_resize) when the target is exactly 2x — one read +
+    one write instead of XLA's two re-tiling dot_general passes; falls back
+    to jax.image.resize for any other scale."""
     b, h, w, c = x.shape
-    # VMEM guard: the kernel holds one whole image block (input + 4x output
-    # + f32 interleave temporaries) per grid step; ~50 bytes/input-pixel is
-    # a conservative ceiling against the ~16 MB/core budget.  Larger images
-    # (e.g. the 256x256-patch config's final upsample) take the XLA path.
+    # VMEM guard: the kernel tiles H into row blocks sized to the scoped
+    # budget (ops.pallas_resize._row_block); fits_vmem rejects only rows so
+    # wide that even a single-row block overflows (exotic configs).
     # (f16 excluded: mosaic has no f16 vector type — see ops/pallas_blend;
     # the trunk never runs f16, this is a guard for exotic configs)
     if (
-        impl == "pallas"
+        impl in ("pallas", "pallas_full")
         and size == (2 * h, 2 * w)
-        and 50 * h * w * c < 12e6
         and x.dtype != jnp.float16
     ):
-        from omnifusion_tpu.ops.pallas_resize import upsample2x_bilinear
+        from omnifusion_tpu.ops.pallas_resize import fits_vmem, upsample2x_bilinear
 
-        return upsample2x_bilinear(x)
+        if fits_vmem(h, w, c):
+            return upsample2x_bilinear(x)
     return jax.image.resize(x, (b, size[0], size[1], c), method="bilinear")

@@ -122,7 +122,13 @@ def _gather_blend_pixel_major(
     s = src_cf.reshape(b * c, n_in)
     if s.dtype == jnp.float16:
         # Mosaic can't type f16; ship the BITS (same-width bitcast is free,
-        # the gather is dtype-agnostic) and decode in-kernel (_f16_bits_to_f32)
+        # the gather is dtype-agnostic) and decode in-kernel (_f16_bits_to_f32).
+        # The barrier pins the bitcast to THIS 2D view: without it XLA hoists
+        # the bitcast above the caller's (B,N,C)->(B,C,N) relayout and assigns
+        # the s16 temp a minor-dim-3 tiled layout whose T(8,128) padding
+        # expands 192 MB to 8 GB and OOMs HBM (measurements.log 2026-08-18,
+        # pallas_merge_micro e2p at b=64).
+        s = jax.lax.optimization_barrier(s)
         s = jax.lax.bitcast_convert_type(s, jnp.int16)
     # pad D straight to a full 128-lane multiple (which also clears the XLA
     # gather's 64-byte leading-dim fast-path gate by a wide margin)
@@ -208,12 +214,49 @@ def quad_gather_blend_pallas(
 
 def _vjp_spread_kernel(g_ref, w_ref, o_ref, *, K: int, D: int):
     # backward of the quad blend: each fetched cotangent row (D wide) is
-    # weighted into 4 corner planes — out[n, q*D:d] = sum_k w[n,k,q]*g[k,n,d]
-    for q in range(4):
-        acc = jnp.zeros((o_ref.shape[0], D), jnp.float32)
-        for k in range(K):
-            acc = acc + g_ref[k].astype(jnp.float32) * w_ref[:, k * 4 + q : k * 4 + q + 1]
-        o_ref[:, q * D : (q + 1) * D] = acc.astype(o_ref.dtype)
+    # weighted into 4 corner planes — out[n, q*D:(q+1)*D] = sum_k w[n,k,q]*g[k,n,d].
+    #
+    # STORE PATTERN MATTERS ON REAL MOSAIC: the round-3 version stored each
+    # q-plane separately (o_ref[:, q*D:(q+1)*D] = acc) and was numerically
+    # WRONG on the chip (verify_kernels FAIL at max|delta|=1.67e-2,
+    # tools/measurements.log 2026-08-18) while passing interpret mode.  This
+    # version mirrors the forward kernel's PROVEN single full-block store:
+    # build all four planes in registers, write o_ref once, lane-concatenated.
+    accs = [jnp.zeros((o_ref.shape[0], D), jnp.float32) for _ in range(4)]
+    for k in range(K):
+        g = _to_f32(g_ref[k])  # (blk, D), read once per k
+        for q in range(4):
+            accs[q] = accs[q] + g * w_ref[:, k * 4 + q : k * 4 + q + 1]
+    o_ref[:] = jnp.concatenate(accs, axis=1).astype(o_ref.dtype)
+
+
+def spread_4plane(
+    g3: jnp.ndarray, w_t2: jnp.ndarray, blk: int = 256, interpret=None
+) -> jnp.ndarray:
+    """(K, N_pad, D) fetched cotangent rows + (N_pad, K*4) f32 weights ->
+    (N_pad, 4*D) corner planes: out[n, q*D:(q+1)*D] = sum_k w[n,k*4+q]*g[k,n].
+
+    The backward kernel as a standalone callable so tools/verify_kernels.py
+    can bisect it against jnp.einsum on IDENTICAL operands (kernel
+    miscompile vs glue/table error)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    k_t, n_pad, d_pad = g3.shape
+    assert n_pad % blk == 0 and w_t2.shape == (n_pad, k_t * 4), (g3.shape, w_t2.shape)
+    return pl.pallas_call(
+        functools.partial(_vjp_spread_kernel, K=k_t, D=d_pad),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 4 * d_pad), jnp.float32),
+        grid=(n_pad // blk,),
+        in_specs=[
+            pl.BlockSpec((k_t, blk, d_pad), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, k_t * 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((blk, 4 * d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(g3, w_t2)
 
 
 def transposed_quad_gather_blend_pallas(
@@ -239,12 +282,6 @@ def transposed_quad_gather_blend_pallas(
     cot: (B, N_out, C), or (B, C, N_out) when ``channel_first``.
     Returns the source cotangent in the same convention.
     """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-
     if cot.dtype == jnp.float16:  # mosaic has no f16; exact upcast
         cot = cot.astype(jnp.float32)
     if channel_first:
@@ -270,17 +307,9 @@ def transposed_quad_gather_blend_pallas(
     n_pad = n_in + pad
 
     g3 = jnp.take(ct, idx_t.T.reshape(-1), axis=0).reshape(k_t, n_pad, d_pad)
-    out4 = pl.pallas_call(
-        functools.partial(_vjp_spread_kernel, K=k_t, D=d_pad),
-        out_shape=jax.ShapeDtypeStruct((n_pad, 4 * d_pad), jnp.float32),
-        grid=(n_pad // blk,),
-        in_specs=[
-            pl.BlockSpec((k_t, blk, d_pad), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk, k_t * 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((blk, 4 * d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(g3, jnp.asarray(w_t.reshape(n_pad, k_t * 4)))
+    out4 = spread_4plane(
+        g3, jnp.asarray(w_t.reshape(n_pad, k_t * 4)), blk=blk, interpret=interpret
+    )
     out4 = out4[:n_in]  # (N_in, 4D)
 
     if over_src is not None and np.asarray(over_src).shape[0]:

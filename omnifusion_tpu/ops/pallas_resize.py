@@ -17,6 +17,14 @@ fixed 4-tap stencil (out coord o samples in coord (o+0.5)/2 - 0.5):
 applied separably in H and W inside one kernel pass.  Exact to f32
 rounding vs jax.image.resize (pinned by tests/test_pallas_resize.py).
 
+VMEM tiling (round-4 fix): the round-3 kernel blocked one whole image per
+grid step and died in scoped-VMEM OOM at the flagship batch — 18.53 M vs
+the 16 M limit at bf16 (1152, 64, 64, 32) -> (., 128, 128, 32)
+(measurements.log 2026-08-18).  The grid now tiles H into row blocks; the
+1-row halo above/below each block arrives as two extra single-row inputs
+of the SAME array whose index maps clamp at the borders — the clamp IS the
+stencil's edge condition, so the kernel needs no program_id branches.
+
 The backward rides a custom VJP whose cotangent path is the XLA
 resize-transpose (autodiff of jax.image.resize) — the forward is linear
 with identical weights, so gradients are exact while training keeps the
@@ -35,22 +43,53 @@ import jax
 import jax.numpy as jnp
 
 
-def _up2x_kernel(x_ref, o_ref):
-    x = x_ref[:].astype(jnp.float32)  # (1, H, W, C) block
-    # W direction
+def _up2x_kernel(xu_ref, xm_ref, xd_ref, o_ref):
+    # (1, 1, W, C) halo row above | (1, HB, W, C) body | (1, 1, W, C) below
+    x = jnp.concatenate(
+        [
+            xu_ref[:].astype(jnp.float32),
+            xm_ref[:].astype(jnp.float32),
+            xd_ref[:].astype(jnp.float32),
+        ],
+        axis=1,
+    )  # (1, HB+2, W, C)
+    # W direction (edge-clamped), on all HB+2 rows — 2 spare rows of VPU work
     xl = jnp.concatenate([x[:, :, :1], x[:, :, :-1]], axis=2)
     xr = jnp.concatenate([x[:, :, 1:], x[:, :, -1:]], axis=2)
     even = 0.25 * xl + 0.75 * x
     odd = 0.75 * x + 0.25 * xr
-    n, h, w, c = x.shape
-    xw = jnp.stack([even, odd], axis=3).reshape(n, h, 2 * w, c)
-    # H direction
-    xu = jnp.concatenate([xw[:, :1], xw[:, :-1]], axis=1)
-    xd = jnp.concatenate([xw[:, 1:], xw[:, -1:]], axis=1)
-    even = 0.25 * xu + 0.75 * xw
-    odd = 0.75 * xw + 0.25 * xd
-    out = jnp.stack([even, odd], axis=2).reshape(n, 2 * h, 2 * w, c)
+    n, hb2, w, c = x.shape
+    xw = jnp.stack([even, odd], axis=3).reshape(n, hb2, 2 * w, c)
+    # H direction: output rows belong to the HB interior rows; the halo rows
+    # supply in[i-1] / in[i+1] (already border-clamped by the index maps)
+    xc = xw[:, 1:-1]
+    xup = xw[:, :-2]
+    xdn = xw[:, 2:]
+    even = 0.25 * xup + 0.75 * xc
+    odd = 0.75 * xc + 0.25 * xdn
+    out = jnp.stack([even, odd], axis=2).reshape(n, 2 * (hb2 - 2), 2 * w, c)
     o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _row_block(h: int, w: int, c: int) -> int:
+    """Largest power-of-two row block whose kernel working set fits VMEM.
+
+    Per grid step the kernel holds ~13 f32 copies of the (HB+2, W, C_pad)
+    working set (x, xl/xr/even/odd, the 2W interleave x3, the 2HBx2W output
+    x3) plus double-buffered input/output blocks; C pads to the 128-lane
+    tile.  Budget 10 MB of the ~16 MB scoped-VMEM limit."""
+    c_pad = -(-c // 128) * 128
+    row_bytes = w * c_pad * 4
+    hb = h
+    while hb > 1 and 13 * (hb + 2) * row_bytes > 10e6:
+        hb //= 2
+    return hb
+
+
+def fits_vmem(h: int, w: int, c: int) -> bool:
+    """True when some row block (>= 1 row) fits the kernel's VMEM budget."""
+    c_pad = -(-c // 128) * 128
+    return 13 * 3 * w * c_pad * 4 <= 10e6
 
 
 def _up2x_pallas(x: jnp.ndarray, interpret=None) -> jnp.ndarray:
@@ -62,18 +101,34 @@ def _up2x_pallas(x: jnp.ndarray, interpret=None) -> jnp.ndarray:
         # driver's virtual-device dryrun) run the kernel interpreted
         interpret = jax.default_backend() != "tpu"
     n, h, w, c = x.shape
+    hb = _row_block(h, w, c)
     return pl.pallas_call(
         _up2x_kernel,
         out_shape=jax.ShapeDtypeStruct((n, 2 * h, 2 * w, c), x.dtype),
-        grid=(n,),
+        grid=(n, h // hb),
         in_specs=[
-            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+            # halo row above: clamps to row 0 at the top border, which IS the
+            # stencil's edge-clamp (out[0] = 0.25*in[0] + 0.75*in[0-clamp])
+            pl.BlockSpec(
+                (1, 1, w, c),
+                lambda i, j: (i, jnp.maximum(j * hb - 1, 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, hb, w, c), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+            ),
+            # halo row below, clamped to the last row at the bottom border
+            pl.BlockSpec(
+                (1, 1, w, c),
+                lambda i, j: (i, jnp.minimum((j + 1) * hb, h - 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 2 * h, 2 * w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, 2 * hb, 2 * w, c), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(x)
+    )(x, x, x)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))

@@ -281,7 +281,14 @@ def quad_gather_blend_with_vjp(
     ~16 MB/core VMEM budget; silently falls back to the XLA path otherwise
     (so callers can request it unconditionally).
     The custom VJP below serves both forwards, so autodiff never has to
-    differentiate through the kernel.
+    differentiate through the kernel.  The BACKWARD stays on the XLA
+    transposed-table path: ``impl="pallas"`` can never corrupt gradients.
+
+    ``impl="pallas_full"``: additionally route the backward through the
+    Pallas transposed kernel.  GATED separately because the round-3 kernel
+    was numerically wrong on real mosaic while its interpret-mode test
+    passed (measurements.log 2026-08-18); promote only behind a green
+    tools/verify_kernels.py run on the chip.
 
     Dtype caveat for 16-bit sources: the pallas channel-first forward
     returns the f32 accumulator (more precise; consumers upcast anyway)
@@ -289,7 +296,7 @@ def quad_gather_blend_with_vjp(
     the source dtype.  Don't key behavior on the output dtype."""
     n_in = src_flat.shape[2] if channel_first else src_flat.shape[1]
 
-    if impl == "pallas":
+    if impl in ("pallas", "pallas_full"):
         b = src_flat.shape[0]
         c = src_flat.shape[1] if channel_first else src_flat.shape[2]
 
@@ -371,7 +378,7 @@ def _with_table_vjp(
         # tables materialize only when a backward is actually traced
         b = cot.shape[0]
         c = cot.shape[1] if channel_first else cot.shape[2]
-        if impl == "pallas" and b * c >= 128:
+        if impl == "pallas_full" and b * c >= 128:
             from omnifusion_tpu.ops.pallas_blend import (
                 transposed_quad_gather_blend_pallas,
             )

@@ -106,6 +106,8 @@ def test_pallas_e2p_matches_xla(small_spec):
 
 
 def test_pallas_backward_matches_xla(small_spec):
+    # "pallas_full" = the Pallas transposed kernel in the backward (gated
+    # behind on-chip verification; interpret-mode exactness pinned here)
     from omnifusion_tpu.projection.ops import equi2pers, pers2equi_cf
     from omnifusion_tpu.projection.spec import build_equi2pers_grids
 
@@ -115,15 +117,38 @@ def test_pallas_backward_matches_xla(small_spec):
     n_in = small_spec.n_patches * small_spec.patch_h * small_spec.patch_w
     x = jnp.asarray(rng.random((64, 2, n_in), dtype=np.float32))
     g_ref = jax.grad(lambda x: (pers2equi_cf(x, gp) ** 2).sum())(x)
-    g_got = jax.grad(lambda x: (pers2equi_cf(x, gp, impl="pallas") ** 2).sum())(x)
+    g_got = jax.grad(lambda x: (pers2equi_cf(x, gp, impl="pallas_full") ** 2).sum())(x)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), atol=1e-4)
 
     xe = jnp.asarray(
         rng.random((43, small_spec.erp_h, small_spec.erp_w, 3), dtype=np.float32)
     )
     h_ref = jax.grad(lambda x: (equi2pers(x, ge) ** 2).sum())(xe)
-    h_got = jax.grad(lambda x: (equi2pers(x, ge, impl="pallas") ** 2).sum())(xe)
+    h_got = jax.grad(lambda x: (equi2pers(x, ge, impl="pallas_full") ** 2).sum())(xe)
     np.testing.assert_allclose(np.asarray(h_got), np.asarray(h_ref), atol=1e-5)
+
+
+def test_pallas_bwd_gate(small_spec, monkeypatch):
+    # VERDICT r3 #5: a user-facing knob must not silently produce wrong
+    # gradients.  impl="pallas" must compute its backward on the verified
+    # XLA transposed-table path (the round-3 Pallas backward was wrong on
+    # real mosaic); only the opt-in "pallas_full" touches the Pallas kernel.
+    import omnifusion_tpu.ops.pallas_blend as pb
+    from omnifusion_tpu.projection.ops import pers2equi_cf
+
+    gp = build_pers2equi_grids(small_spec)
+    n_in = small_spec.n_patches * small_spec.patch_h * small_spec.patch_w
+    x = jnp.asarray(np.random.default_rng(9).random((64, 2, n_in), dtype=np.float32))
+
+    def boom(*a, **k):
+        raise AssertionError("pallas transposed kernel reached under impl='pallas'")
+
+    monkeypatch.setattr(pb, "transposed_quad_gather_blend_pallas", boom)
+    g_ref = jax.grad(lambda x: (pers2equi_cf(x, gp) ** 2).sum())(x)
+    g_got = jax.grad(lambda x: (pers2equi_cf(x, gp, impl="pallas") ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), atol=1e-4)
+    with pytest.raises(Exception):
+        jax.grad(lambda x: (pers2equi_cf(x, gp, impl="pallas_full") ** 2).sum())(x)
 
 
 def test_model_pallas_f16_merge_matches_xla(small_spec):

@@ -35,11 +35,19 @@ def main():
     )
     ap.add_argument(
         "--kernel_impl",
-        choices=["xla", "pallas"],
+        choices=["xla", "pallas", "pallas_full"],
         default="xla",
         help="projection blend implementation (see SphericalFusion.kernel_impl)",
     )
+    ap.add_argument(
+        "--only",
+        default="all",
+        help="comma list of components to time (e2p,merge,trunk,full) — the "
+        "round-3 queue showed one process timing all four can outlive a "
+        "600 s tunnel-window budget on cold compiles; split entries fit",
+    )
     args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only != "all" else {"e2p", "merge", "trunk", "full"}
 
     from omnifusion_tpu.cli.common import apply_runtime_env
 
@@ -86,33 +94,37 @@ def main():
     def maybe_cast(x):
         return x.astype(cdt) if cdt is not None else x
 
-    bench(
-        "equi2pers full-res", (B, h, w, 3), lambda x: equi2pers(maybe_cast(x), g_hr, impl=args.kernel_impl).sum()
-    )
-    bench(
-        "merge (confidence)",
-        (B, P, ph, ph, 1),
-        lambda x: confidence_merge(x, x * 0.5 + 0.2, p2e, dtype=mdt, impl=args.kernel_impl).sum(),
-    )
+    if "e2p" in only:
+        bench(
+            "equi2pers full-res", (B, h, w, 3), lambda x: equi2pers(maybe_cast(x), g_hr, impl=args.kernel_impl).sum()
+        )
+    if "merge" in only:
+        bench(
+            "merge (confidence)",
+            (B, P, ph, ph, 1),
+            lambda x: confidence_merge(x, x * 0.5 + 0.2, p2e, dtype=mdt, impl=args.kernel_impl).sum(),
+        )
 
-    trunk = DepthTrunk(dtype=cdt, kernel_impl=args.kernel_impl)
-    pz = jnp.zeros((1, P, ph, ph, 3))
-    pf = jnp.zeros((1, P, ph // 4, ph // 4, 64))
-    tv = jax.jit(lambda: trunk.init(jax.random.PRNGKey(0), pz, pf))()
-    bench(
-        "trunk",
-        (B, P, ph, ph, 3),
-        lambda x: sum(o.sum() for o in trunk.apply(tv, x, pf, train=False)),
-    )
+    if "trunk" in only:
+        trunk = DepthTrunk(dtype=cdt, kernel_impl=args.kernel_impl)
+        pz = jnp.zeros((1, P, ph, ph, 3))
+        pf = jnp.zeros((1, P, ph // 4, ph // 4, 64))
+        tv = jax.jit(lambda: trunk.init(jax.random.PRNGKey(0), pz, pf))()
+        bench(
+            "trunk",
+            (B, P, ph, ph, 3),
+            lambda x: sum(o.sum() for o in trunk.apply(tv, x, pf, train=False)),
+        )
 
-    model = SphericalFusion(spec=spec, dtype=cdt, merge_dtype=mdt, kernel_impl=args.kernel_impl)
-    rgb1 = jnp.zeros((1, h, w, 3))
-    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), rgb1))()
-    bench(
-        "FULL forward",
-        (B, h, w, 3),
-        lambda x: model.apply(variables, x, train=False).sum(),
-    )
+    if "full" in only:
+        model = SphericalFusion(spec=spec, dtype=cdt, merge_dtype=mdt, kernel_impl=args.kernel_impl)
+        rgb1 = jnp.zeros((1, h, w, 3))
+        variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), rgb1))()
+        bench(
+            "FULL forward",
+            (B, h, w, 3),
+            lambda x: model.apply(variables, x, train=False).sum(),
+        )
 
 
 if __name__ == "__main__":

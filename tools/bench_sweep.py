@@ -25,7 +25,7 @@ def main():
     ap.add_argument("--modes", default="bf16,f16_merge")
     ap.add_argument(
         "--kernel_impl",
-        choices=["xla", "pallas"],
+        choices=["xla", "pallas", "pallas_full"],
         default="xla",
         help="projection blend implementation (see SphericalFusion.kernel_impl)",
     )

@@ -44,7 +44,7 @@ def main():
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--merge_dtype", choices=["f32", "bf16", "f16"], default="f32")
-    ap.add_argument("--kernel_impl", choices=["xla", "pallas"], default="xla")
+    ap.add_argument("--kernel_impl", choices=["xla", "pallas", "pallas_full"], default="xla")
     args = ap.parse_args()
 
     from omnifusion_tpu.cli.common import apply_runtime_env

@@ -80,10 +80,16 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--merge_dtype", choices=["f32", "bf16", "f16"], default="f32")
-    ap.add_argument("--kernel_impl", choices=["xla", "pallas"], default="xla")
+    ap.add_argument("--kernel_impl", choices=["xla", "pallas", "pallas_full"], default="xla")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--profile_dir", default=None)
+    ap.add_argument(
+        "--train",
+        action="store_true",
+        help="profile a full train step (forward+backward+update) instead "
+        "of the inference forward — the VERDICT-r3 #8 re-profile",
+    )
     ap.add_argument(
         "--parse_only", default=None, help="skip running; parse this profile dir"
     )
@@ -108,24 +114,54 @@ def main():
         mdt = {"f32": None, "bf16": jnp.bfloat16, "f16": jnp.float16}[args.merge_dtype]
         model = SphericalFusion(spec=spec, dtype=cdt, merge_dtype=mdt, kernel_impl=args.kernel_impl)
         rgb1 = jnp.zeros((1, 512, 1024, 3), jnp.float32)
-        variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), rgb1))()
-
-        @jax.jit
-        def fwd(x):
-            return model.apply(variables, x, train=False).sum()
 
         rng = np.random.default_rng(0)
-        xs = [
-            jnp.asarray(rng.random((args.batch, 512, 1024, 3), dtype=np.float32))
-            for _ in range(args.reps)
-        ]
-        float(fwd(xs[0]))  # compile + warm
-        prof_dir = args.profile_dir or tempfile.mkdtemp(prefix="of_prof_")
-        with jax.profiler.trace(prof_dir):
-            v = 0.0
-            for x in xs:
-                v += float(fwd(x))
-        print(f"trace in {prof_dir} (checksum {v:.3f})")
+        if args.train:
+            from omnifusion_tpu.training import (
+                create_train_state,
+                make_optimizer,
+                make_train_step,
+            )
+
+            state = create_train_state(
+                model, jax.random.PRNGKey(0), rgb1, make_optimizer(lr=1e-4)
+            )
+            step = make_train_step(model, donate=False)
+            batches = [
+                {
+                    "rgb": jnp.asarray(rng.random((args.batch, 512, 1024, 3), dtype=np.float32)),
+                    "depth": jnp.asarray((rng.random((args.batch, 512, 1024, 1)) * 7 + 0.3).astype(np.float32)),
+                    "mask": jnp.ones((args.batch, 512, 1024, 1), jnp.float32),
+                }
+                for _ in range(args.reps)
+            ]
+            state, m = step(state, batches[0])  # compile + warm
+            float(m["loss"])
+            prof_dir = args.profile_dir or tempfile.mkdtemp(prefix="of_prof_")
+            with jax.profiler.trace(prof_dir):
+                v = 0.0
+                for b in batches:
+                    state, m = step(state, b)
+                    v += float(m["loss"])
+            print(f"trace in {prof_dir} (loss checksum {v:.3f})")
+        else:
+            variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), rgb1))()
+
+            @jax.jit
+            def fwd(x):
+                return model.apply(variables, x, train=False).sum()
+
+            xs = [
+                jnp.asarray(rng.random((args.batch, 512, 1024, 3), dtype=np.float32))
+                for _ in range(args.reps)
+            ]
+            float(fwd(xs[0]))  # compile + warm
+            prof_dir = args.profile_dir or tempfile.mkdtemp(prefix="of_prof_")
+            with jax.profiler.trace(prof_dir):
+                v = 0.0
+                for x in xs:
+                    v += float(fwd(x))
+            print(f"trace in {prof_dir} (checksum {v:.3f})")
 
     per_op, per_src, total, path = parse_trace(prof_dir)
     # --reps must match the original capture when re-parsing with --parse_only

@@ -26,37 +26,50 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LOG = os.path.join(REPO, "tools", "measurements.log")
 
 # (name, argv, timeout_s) — timeouts include one cold compile of the step's
-# graphs on this host's cache; warm re-runs finish in a fraction.
+# graphs on this host's cache; warm re-runs finish in a fraction.  Round-4
+# queue: prove the repaired Pallas path green (VERDICT r3 #1-#4), then
+# collect the b=64 Pallas-vs-XLA verdict and the train re-profile (#3/#8).
+# Payloads are SPLIT to their budgets (#6): one component per process.
 QUEUE = [
-    ("verify_kernels", ["tools/verify_kernels.py"], 600),
-    ("components_xla_b64", ["tools/bench_components.py", "--batch", "64",
-                            "--bf16", "--merge_dtype", "f16"], 600),
-    ("components_pallas_b64", ["tools/bench_components.py", "--batch", "64",
-                               "--bf16", "--merge_dtype", "f16",
-                               "--kernel_impl", "pallas"], 600),
+    # the round's gate: kernel bisects + flagship-shape resize + composed
+    # train-step cross-check (3 tiny train-step compiles => larger cap)
+    ("verify_kernels", ["tools/verify_kernels.py"], 1500),
     ("resize_shootout", ["tools/bench_resize.py", "--batch", "64"], 420),
     ("pallas_merge_micro", ["tools/bench_pallas_merge.py", "--batch", "64",
-                            "--dtypes", "f16,f32"], 420),
+                            "--dtypes", "f16,f32", "--only", "merge"], 420),
+    ("pallas_e2p_micro", ["tools/bench_pallas_merge.py", "--batch", "64",
+                          "--dtypes", "f16", "--only", "e2p"], 420),
+    ("components_xla_b64", ["tools/bench_components.py", "--batch", "64",
+                            "--bf16", "--merge_dtype", "f16",
+                            "--only", "e2p,merge,trunk"], 600),
+    ("components_xla_full", ["tools/bench_components.py", "--batch", "64",
+                             "--bf16", "--merge_dtype", "f16",
+                             "--only", "full"], 900),
+    ("components_pallas_b64", ["tools/bench_components.py", "--batch", "64",
+                               "--bf16", "--merge_dtype", "f16",
+                               "--kernel_impl", "pallas",
+                               "--only", "e2p,merge,trunk"], 600),
+    ("components_pallas_full", ["tools/bench_components.py", "--batch", "64",
+                                "--bf16", "--merge_dtype", "f16",
+                                "--kernel_impl", "pallas",
+                                "--only", "full"], 900),
     # bench.py budgets itself via BENCH_TIMEOUT_SECS (default 900) and emits
     # an honest record line at budget end — the outer cap must outlive that
     ("bench_headline", ["bench.py"], 1100),
-    ("train_b8", ["tools/bench_train.py", "--batch", "8", "--bf16",
-                  "--merge_dtype", "f16"], 700),
     ("train_b32", ["tools/bench_train.py", "--batch", "32", "--bf16",
                    "--merge_dtype", "f16"], 700),
-    # the reference's canonical eval protocol (iterative, 2 iterations) at
-    # a throughput batch — completes the parity-perf story
-    ("iterative_b32", ["tools/bench_sweep.py", "--model", "iterative",
-                       "--modes", "f16_merge", "--batches", "32"], 700),
-    # follow-ons once the pallas forward numbers exist: does the index-major
-    # backward help the train step, and where does the pallas forward's
-    # remaining device time live (source-attributed xplane)?
-    ("xtra_train_b32_pallas", ["tools/bench_train.py", "--batch", "32",
-                               "--bf16", "--merge_dtype", "f16",
-                               "--kernel_impl", "pallas"], 700),
+    # "pallas" keeps gradients on the verified XLA transpose (safe to bench
+    # regardless of verify_kernels); "pallas_full" numbers only count if
+    # verify_kernels went green above
+    ("train_b32_pallas", ["tools/bench_train.py", "--batch", "32", "--bf16",
+                          "--merge_dtype", "f16",
+                          "--kernel_impl", "pallas"], 700),
     ("xtra_profile_pallas_b64", ["tools/profile_forward.py", "--batch", "64",
                                  "--bf16", "--merge_dtype", "f16",
                                  "--kernel_impl", "pallas"], 700),
+    ("xtra_profile_train_b32", ["tools/profile_forward.py", "--batch", "32",
+                                "--bf16", "--merge_dtype", "f16",
+                                "--train"], 700),
     # HBM stream + random-gather calibration feeding the speed-of-light
     # floor table (tools/sol_model.py, the VERDICT-r2 #4 floor statement)
     ("xtra_sol_calibrate", ["tools/sol_model.py", "--calibrate"], 500),

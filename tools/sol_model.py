@@ -40,11 +40,12 @@ sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(_
 from omnifusion_tpu.cli.common import apply_runtime_env  # noqa: E402
 
 MXU_TFLOPS = 168.0  # chained-matmul calibration, PERF_NOTES.md
-# streaming-HBM / random-gather calibrations measured by --calibrate on
-# 2026-08-18 (v5e); re-run --calibrate and update when the chip changes.
-STREAM_GBS = None  # filled from --stream_gbs or the constant below
-DEFAULT_STREAM_GBS = 700.0  # conservative pre-calibration placeholder
-DEFAULT_GATHER_GBS = 260.0  # measured merge-gather rate (xplane, PERF_NOTES)
+# Placeholder bandwidth defaults until a --calibrate run lands in
+# tools/measurements.log (override with --stream_gbs/--gather_gbs or replace
+# these once calibrated): STREAM from the v5e spec-sheet ballpark, GATHER
+# from the xplane-measured merge-gather rate (PERF_NOTES round-3 profile).
+DEFAULT_STREAM_GBS = 700.0
+DEFAULT_GATHER_GBS = 260.0
 
 
 def _pad(n, m):
@@ -57,6 +58,12 @@ def calibrate():
     import jax.numpy as jnp
     import numpy as np
 
+    # Repo benchmarking protocol: iterations chained in ONE jit with a data
+    # dependency (so the runtime can't elide repeats), distinct scalar input
+    # per timed call, best-of-N to shed tunnel-dispatch outliers, and scans
+    # long enough that kernel time dominates dispatch (ADVICE r3).
+    REPS, BEST_OF = 16, 3
+
     n = 1 << 28  # 1 GiB f32
     x = jnp.asarray(np.random.default_rng(0).random(n, np.float32))
 
@@ -65,36 +72,46 @@ def calibrate():
         def step(v, _):
             return v * s + jnp.float32(1.0), v[0]
 
-        v, outs = jax.lax.scan(step, x, None, length=4)
+        v, outs = jax.lax.scan(step, x, None, length=REPS)
         return outs.sum() + v[1]
 
     float(stream(x, jnp.float32(1.0)))  # compile+warm
-    t0 = time.perf_counter()
-    float(stream(x, jnp.float32(1.0000001)))
-    dt = time.perf_counter() - t0
-    gbs = 4 * (2 * x.nbytes) / dt / 1e9  # read + write per scan step
-    print(f"stream: {gbs:.1f} GB/s  ({dt*1e3:.1f} ms for 4x saxpy over 1 GiB)")
+    dts = []
+    for i in range(BEST_OF):
+        t0 = time.perf_counter()
+        float(stream(x, jnp.float32(1.0 + 1e-7 * (i + 1))))
+        dts.append(time.perf_counter() - t0)
+    dt = min(dts)
+    gbs = REPS * (2 * x.nbytes) / dt / 1e9  # read + write per scan step
+    print(f"stream: {gbs:.1f} GB/s  ({dt*1e3:.1f} ms for {REPS}x saxpy over 1 GiB)")
 
     rows, width = 1 << 20, 512  # 1 Gi of f16 rows, merge-gather shaped
     src = jnp.asarray(
         np.random.default_rng(1).random((rows, width), np.float32).astype(np.float16)
     )
-    idx = jnp.asarray(np.random.default_rng(2).integers(0, rows, rows, np.int32))
+    idx = jnp.asarray(np.random.default_rng(2).integers(0, rows - 1, rows, np.int32))
 
     @jax.jit
     def gath(src, idx, s):
-        def step(acc, _):
-            g = jnp.take(src, idx + acc.astype(jnp.int32) % 2, axis=0)
+        # per-step index variation from the STEP COUNTER (the round-3
+        # accumulator-derived perturbation was always 0 at runtime — ADVICE
+        # r3); idx < rows-1 so idx+1 stays in range, and the scalar data
+        # dependence through acc keeps the chain unelidable.
+        def step(acc, t):
+            g = jnp.take(src, idx + t % 2, axis=0)
             return acc + g.astype(jnp.float32).sum() * s, ()
 
-        acc, _ = jax.lax.scan(step, jnp.float32(0.0), None, length=4)
+        acc, _ = jax.lax.scan(step, jnp.float32(0.0), jnp.arange(REPS), length=REPS)
         return acc
 
     float(gath(src, idx, jnp.float32(0.0)))
-    t0 = time.perf_counter()
-    float(gath(src, idx, jnp.float32(1e-30)))
-    dt = time.perf_counter() - t0
-    ggbs = 4 * src.nbytes / dt / 1e9
+    dts = []
+    for i in range(BEST_OF):
+        t0 = time.perf_counter()
+        float(gath(src, idx, jnp.float32(1e-30 * (i + 1))))
+        dts.append(time.perf_counter() - t0)
+    dt = min(dts)
+    ggbs = REPS * src.nbytes / dt / 1e9
     print(f"gather: {ggbs:.1f} GB/s  (random f16 rows of {width*2} B)")
     return gbs, ggbs
 

@@ -4,10 +4,19 @@ Runs every Pallas kernel (merge blend fwd, e2p blend fwd, transposed VJP,
 2x upsample) at a compile-bounded spec on the current backend and checks
 it against the XLA reference path.  Prints one PASS/FAIL line per kernel.
 
+Round-4 additions (VERDICT r3 #1/#2/#4):
+  * "bwd kernel vs einsum" bisects the transposed kernel against jnp.einsum
+    on IDENTICAL operands — separates a mosaic miscompile from glue/table
+    errors (the round-3 FAIL at 1.67e-2 was store-pattern-dependent).
+  * "resize flagship shape" compiles and checks the H-tiled 2x upsample at
+    the exact bf16 (1152, 64, 64, 32) block that OOM'd scoped VMEM in r3.
+  * "composed train step" runs one full tiny train step per kernel_impl and
+    compares loss, grad-norm, and the elementwise gradient tree — the check
+    that would have caught both round-3 failures in one run.
+
     python tools/verify_kernels.py            # real TPU via the tunnel
     python tools/verify_kernels.py --cpu      # interpret mode
-    JAX_PLATFORMS=cpu python tools/verify_kernels.py   # same (honored via
-                                              # cli.common.apply_runtime_env)
+    python tools/verify_kernels.py --skip_model   # kernels only (fast)
 """
 
 from __future__ import annotations
@@ -36,6 +45,7 @@ def main():
         build_equi2pers_grids,
         build_pers2equi_grids,
     )
+    from omnifusion_tpu.ops.pallas_blend import spread_4plane
     from omnifusion_tpu.ops.pallas_resize import upsample2x_bilinear
 
     print(f"backend: {jax.default_backend()}", flush=True)
@@ -71,18 +81,93 @@ def main():
     got16 = jax.jit(lambda x: pers2equi_cf(x, gp, impl="pallas"))(x16)
     report("merge blend fwd f16", float(jnp.abs(got16.astype(jnp.float32) - ref16).max()), 2e-3)
 
+    # --- transposed backward (the round-3 FAIL) ---------------------------
+    # bisect 1: the kernel alone vs einsum on IDENTICAL operands
+    k_t = np.asarray(gp.vjp[0]).shape[1]
+    g3 = jnp.asarray(rng.random((k_t, 4096, 128), dtype=np.float32))
+    w2 = jnp.asarray(rng.random((4096, k_t * 4), dtype=np.float32))
+    out_k = jax.jit(spread_4plane)(g3, w2)
+    out_e = jax.jit(
+        lambda g, w: jnp.einsum(
+            "knd,nkq->nqd", g, w.reshape(4096, k_t, 4)
+        ).reshape(4096, 4 * 128)
+    )(g3, w2)
+    report("bwd kernel vs einsum", float(jnp.abs(out_k - out_e).max()), 1e-4)
+
+    # bisect 2: the full custom-VJP path ("pallas_full" = pallas backward;
+    # plain "pallas" is gated to the XLA transpose and checked composed below)
     g_ref = jax.jit(jax.grad(lambda x: (pers2equi_cf(x, gp) ** 2).sum()))(x)
-    g_got = jax.jit(jax.grad(lambda x: (pers2equi_cf(x, gp, impl="pallas") ** 2).sum()))(x)
+    g_got = jax.jit(jax.grad(lambda x: (pers2equi_cf(x, gp, impl="pallas_full") ** 2).sum()))(x)
     report("merge transposed bwd", float(jnp.abs(g_got - g_ref).max()), 1e-3)
 
     h_ref = jax.jit(jax.grad(lambda x: (equi2pers(x, ge) ** 2).sum()))(xe)
-    h_got = jax.jit(jax.grad(lambda x: (equi2pers(x, ge, impl="pallas") ** 2).sum()))(xe)
+    h_got = jax.jit(jax.grad(lambda x: (equi2pers(x, ge, impl="pallas_full") ** 2).sum()))(xe)
     report("e2p transposed bwd", float(jnp.abs(h_got - h_ref).max()), 1e-3)
 
     xr = jnp.asarray(rng.random((8, 32, 32, 32), dtype=np.float32))
     refr = jax.jit(lambda x: jax.image.resize(x, (8, 64, 64, 32), method="bilinear"))(xr)
     gotr = jax.jit(lambda x: upsample2x_bilinear(x))(xr)
     report("2x upsample", float(jnp.abs(gotr - refr).max()), 1e-5)
+
+    # the exact flagship decoder shape whose whole-image block OOM'd scoped
+    # VMEM in round 3 (bf16 (1152,64,64,32) -> (.,128,128,32)); the H-tiled
+    # kernel must compile AND match here.  Off-TPU (interpret mode) the same
+    # H-tiling + halo logic is exercised at a batch the interpreter can
+    # finish — the VMEM question only exists on the chip anyway.
+    nf = 1152 if jax.default_backend() == "tpu" else 8
+    xf = jnp.asarray(rng.random((nf, 64, 64, 32), dtype=np.float32)).astype(jnp.bfloat16)
+    reff = jax.jit(
+        lambda x: jax.image.resize(x, (nf, 128, 128, 32), method="bilinear").astype(jnp.float32).sum()
+    )(xf)
+    gotf = jax.jit(lambda x: upsample2x_bilinear(x).astype(jnp.float32).sum())(xf)
+    report(
+        "resize flagship shape",
+        float(jnp.abs(gotf - reff) / jnp.maximum(jnp.abs(reff), 1.0)),
+        1e-3,
+    )
+
+    # --- composed cross-check: one tiny train step per kernel_impl --------
+    if "--skip_model" not in sys.argv:
+        from omnifusion_tpu.models import SphericalFusion
+        from omnifusion_tpu.training import (
+            create_train_state,
+            make_optimizer,
+            make_train_step,
+        )
+
+        kw = dict(
+            spec=spec,
+            depth=2,
+            encoder_stages=((64, 1, 1), (128, 1, 2), (256, 1, 2), (512, 1, 2)),
+        )
+        batch = {
+            "rgb": jnp.asarray(rng.random((64, spec.erp_h, spec.erp_w, 3), dtype=np.float32)),
+            "depth": jnp.asarray((rng.random((64, spec.erp_h, spec.erp_w, 1)) * 7 + 0.3).astype(np.float32)),
+            "mask": jnp.ones((64, spec.erp_h, spec.erp_w, 1), jnp.float32),
+        }
+        results = {}
+        for impl in ("xla", "pallas", "pallas_full"):
+            model = SphericalFusion(**kw, kernel_impl=impl)
+            state = create_train_state(
+                model, jax.random.PRNGKey(0), batch["rgb"][:1], make_optimizer(lr=1e-4)
+            )
+            new_state, metrics = make_train_step(model, donate=False)(state, batch)
+            results[impl] = (
+                float(metrics["loss"]),
+                float(metrics["grad_norm"]),
+                jax.tree.map(np.asarray, new_state.params),
+            )
+            print(f"  train step [{impl:12s}] loss={results[impl][0]:.6f} "
+                  f"grad_norm={results[impl][1]:.6f}", flush=True)
+        l0, n0, p0 = results["xla"]
+        for impl in ("pallas", "pallas_full"):
+            l1, n1, p1 = results[impl]
+            dp = max(
+                float(np.abs(a - b).max())
+                for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1))
+            )
+            rel = max(abs(l1 - l0) / max(abs(l0), 1e-9), abs(n1 - n0) / max(n0, 1e-9))
+            report(f"composed step {impl}", max(rel, dp), 1e-4)
 
     print("ALL PASS" if not failures else f"{failures} FAILURES", flush=True)
     sys.exit(1 if failures else 0)
