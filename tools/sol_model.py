@@ -113,6 +113,49 @@ def calibrate():
     dt = min(dts)
     ggbs = REPS * src.nbytes / dt / 1e9
     print(f"gather: {ggbs:.1f} GB/s  (random f16 rows of {width*2} B)")
+
+    # --- gather structure sweep: per-index vs per-byte, and does index
+    # ORDER matter?  (informs whether the merge gather is at the hardware
+    # floor or a sorted/two-phase formulation could beat it)
+    def probe(tag, rows_p, width_p, order):
+        srcp = jnp.asarray(
+            np.random.default_rng(3).random((rows_p, width_p), np.float32).astype(np.float16)
+        )
+        r = np.random.default_rng(4)
+        if order == "random":
+            ix = r.integers(0, rows_p - 1, rows_p, np.int32)
+        elif order == "sorted":
+            ix = np.sort(r.integers(0, rows_p - 1, rows_p, np.int32))
+        else:  # sequential
+            ix = np.arange(rows_p, dtype=np.int32) % (rows_p - 1)
+        ixp = jnp.asarray(ix)
+
+        @jax.jit
+        def g(srcp, ixp, s):
+            def step(acc, t):
+                fetched = jnp.take(srcp, ixp + t % 2, axis=0)
+                return acc + fetched.astype(jnp.float32).sum() * s, ()
+
+            acc, _ = jax.lax.scan(step, jnp.float32(0.0), jnp.arange(REPS), length=REPS)
+            return acc
+
+        float(g(srcp, ixp, jnp.float32(0.0)))
+        best = None
+        for i in range(BEST_OF):
+            t0 = time.perf_counter()
+            float(g(srcp, ixp, jnp.float32(1e-30 * (i + 1))))
+            best = min(best or 1e9, time.perf_counter() - t0)
+        useful = REPS * srcp.nbytes
+        print(
+            f"gather[{tag:22s}] {useful / best / 1e9:7.1f} GB/s "
+            f"({best / REPS / rows_p * 1e9:6.2f} ns/index, rows={rows_p}, "
+            f"row={width_p * 2} B, {order})"
+        )
+
+    for width_p, rows_p in ((128, 1 << 22), (256, 1 << 21), (512, 1 << 20), (1024, 1 << 19)):
+        probe(f"w{width_p * 2}B/random", rows_p, width_p, "random")
+    probe("w1024B/sorted", 1 << 20, 512, "sorted")
+    probe("w1024B/sequential", 1 << 20, 512, "sequential")
     return gbs, ggbs
 
 
