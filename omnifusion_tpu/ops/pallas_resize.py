@@ -53,9 +53,16 @@ def _up2x_kernel(xu_ref, xm_ref, xd_ref, o_ref):
         ],
         axis=1,
     )  # (1, HB+2, W, C)
-    # W direction (edge-clamped), on all HB+2 rows — 2 spare rows of VPU work
-    xl = jnp.concatenate([x[:, :, :1], x[:, :, :-1]], axis=2)
-    xr = jnp.concatenate([x[:, :, 1:], x[:, :, -1:]], axis=2)
+    # W direction (edge-clamped), on all HB+2 rows — 2 spare rows of VPU work.
+    # W=1 degenerates to xl=xr=x (the clamp makes both taps the same pixel);
+    # the general concat would emit a zero-size slice, which interpret mode
+    # tolerates but mosaic rejects ("vector types must have positive constant
+    # sizes", hit by the 1x1->2x2 stage of patch-32 configs on-chip).
+    if x.shape[2] > 1:
+        xl = jnp.concatenate([x[:, :, :1], x[:, :, :-1]], axis=2)
+        xr = jnp.concatenate([x[:, :, 1:], x[:, :, -1:]], axis=2)
+    else:
+        xl = xr = x
     even = 0.25 * xl + 0.75 * x
     odd = 0.75 * x + 0.25 * xr
     n, hb2, w, c = x.shape

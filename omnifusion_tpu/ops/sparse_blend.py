@@ -235,7 +235,17 @@ def transposed_quad_gather_blend(
     # no quad packing here: the operand alone must reach the ~256-byte gate
     g2, d_pad = _pad_leading(g2, 256)
     g = jnp.take(g2, idx_t.reshape(-1), axis=1).reshape(d_pad, n_in, k_t)
-    blocks = jnp.einsum("dnk,nkq->qdn", g, w_t.astype(cot.dtype))  # (4, D, N_in)
+    # HIGHEST precision: on TPU the default lowers this K_T-term contraction
+    # to bf16 MXU passes, which puts ~4e-3 RELATIVE rounding on every
+    # gradient — the round-3 "pallas backward FAIL at 1.67e-2" turned out to
+    # be exactly this noise ON THE REFERENCE SIDE (the exact-f32 VPU kernel
+    # disagreed with the bf16 einsum; interpret mode agreed because CPU
+    # einsums are f32).  The contraction is memory-bound (K_T<=8 terms), so
+    # exact passes are ~free; torch computes these gradients in f32.
+    blocks = jnp.einsum(
+        "dnk,nkq->qdn", g, w_t.astype(cot.dtype),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (4, D, N_in)
 
     if over_src.shape[0]:
         vals = jnp.take(g2, over_src, axis=1)  # (D, M)

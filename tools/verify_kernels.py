@@ -82,17 +82,32 @@ def main():
     report("merge blend fwd f16", float(jnp.abs(got16.astype(jnp.float32) - ref16).max()), 2e-3)
 
     # --- transposed backward (the round-3 FAIL) ---------------------------
-    # bisect 1: the kernel alone vs einsum on IDENTICAL operands
+    # bisect 1: the kernel alone vs einsum on IDENTICAL operands.  The
+    # adjudicating reference is the HIGHEST-precision einsum: the round-3
+    # "kernel FAIL at 1.67e-2" was the DEFAULT einsum's bf16 MXU contraction
+    # rounding on the reference side, not a kernel miscompile (the kernel
+    # accumulates exact f32 on the VPU).  The default-vs-exact line keeps
+    # that rounding visible so nobody re-tightens the wrong comparison.
     k_t = np.asarray(gp.vjp[0]).shape[1]
     g3 = jnp.asarray(rng.random((k_t, 4096, 128), dtype=np.float32))
     w2 = jnp.asarray(rng.random((4096, k_t * 4), dtype=np.float32))
     out_k = jax.jit(spread_4plane)(g3, w2)
-    out_e = jax.jit(
-        lambda g, w: jnp.einsum(
-            "knd,nkq->nqd", g, w.reshape(4096, k_t, 4)
-        ).reshape(4096, 4 * 128)
-    )(g3, w2)
-    report("bwd kernel vs einsum", float(jnp.abs(out_k - out_e).max()), 1e-4)
+
+    def ein(precision):
+        return jax.jit(
+            lambda g, w: jnp.einsum(
+                "knd,nkq->nqd", g, w.reshape(4096, k_t, 4), precision=precision
+            ).reshape(4096, 4 * 128)
+        )(g3, w2)
+
+    out_hi = ein(jax.lax.Precision.HIGHEST)
+    out_lo = ein(None)
+    report("bwd kernel vs exact einsum", float(jnp.abs(out_k - out_hi).max()), 1e-4)
+    print(
+        f"      (default-precision einsum vs exact: "
+        f"max|delta| = {float(jnp.abs(out_lo - out_hi).max()):.3e} — the "
+        f"round-3 'FAIL' source)", flush=True,
+    )
 
     # bisect 2: the full custom-VJP path ("pallas_full" = pallas backward;
     # plain "pallas" is gated to the XLA transpose and checked composed below)
