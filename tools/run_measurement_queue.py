@@ -31,9 +31,11 @@ LOG = os.path.join(REPO, "tools", "measurements.log")
 # collect the b=64 Pallas-vs-XLA verdict and the train re-profile (#3/#8).
 # Payloads are SPLIT to their budgets (#6): one component per process.
 QUEUE = [
-    # the round's gate: kernel bisects + flagship-shape resize + composed
-    # train-step cross-check (3 tiny train-step compiles => larger cap)
-    ("verify_kernels", ["tools/verify_kernels.py"], 1500),
+    # the round's gate, split so each half fits one short tunnel-up window:
+    # kernel bisects + flagship-shape resize, then the composed train-step
+    # cross-check (3 tiny train-step compiles)
+    ("verify_kernels", ["tools/verify_kernels.py", "--skip_model"], 700),
+    ("verify_composed", ["tools/verify_kernels.py", "--only_model"], 900),
     ("resize_shootout", ["tools/bench_resize.py", "--batch", "64"], 420),
     ("pallas_merge_micro", ["tools/bench_pallas_merge.py", "--batch", "64",
                             "--dtypes", "f16,f32", "--only", "merge"], 420),

@@ -17,6 +17,8 @@ Round-4 additions (VERDICT r3 #1/#2/#4):
     python tools/verify_kernels.py            # real TPU via the tunnel
     python tools/verify_kernels.py --cpu      # interpret mode
     python tools/verify_kernels.py --skip_model   # kernels only (fast)
+    python tools/verify_kernels.py --only_model   # composed check only
+    (the split lets each half fit one short tunnel-up window)
 """
 
 from __future__ import annotations
@@ -53,6 +55,7 @@ def main():
     gp, ge = build_pers2equi_grids(spec), build_equi2pers_grids(spec)
     rng = np.random.default_rng(0)
     failures = 0
+    kernels_too = "--only_model" not in sys.argv
 
     def report(name, delta, tol):
         nonlocal failures
@@ -61,6 +64,10 @@ def main():
         print(f"{'PASS' if ok else 'FAIL'}  {name:28s} max|delta| = {delta:.3e}  (tol {tol:g})", flush=True)
 
     n_in = spec.n_patches * spec.patch_h * spec.patch_w
+    if not kernels_too:
+        run_composed(jax, jnp, np, rng, spec, report)
+        print("ALL PASS" if not failures else f"{failures} FAILURES", flush=True)
+        sys.exit(1 if failures else 0)
     x = jnp.asarray(rng.random((64, 2, n_in), dtype=np.float32))
     ref = jax.jit(lambda x: pers2equi_cf(x, gp))(x)
     got = jax.jit(lambda x: pers2equi_cf(x, gp, impl="pallas"))(x)
@@ -143,49 +150,56 @@ def main():
 
     # --- composed cross-check: one tiny train step per kernel_impl --------
     if "--skip_model" not in sys.argv:
-        from omnifusion_tpu.models import SphericalFusion
-        from omnifusion_tpu.training import (
-            create_train_state,
-            make_optimizer,
-            make_train_step,
-        )
-
-        kw = dict(
-            spec=spec,
-            depth=2,
-            encoder_stages=((64, 1, 1), (128, 1, 2), (256, 1, 2), (512, 1, 2)),
-        )
-        batch = {
-            "rgb": jnp.asarray(rng.random((64, spec.erp_h, spec.erp_w, 3), dtype=np.float32)),
-            "depth": jnp.asarray((rng.random((64, spec.erp_h, spec.erp_w, 1)) * 7 + 0.3).astype(np.float32)),
-            "mask": jnp.ones((64, spec.erp_h, spec.erp_w, 1), jnp.float32),
-        }
-        results = {}
-        for impl in ("xla", "pallas", "pallas_full"):
-            model = SphericalFusion(**kw, kernel_impl=impl)
-            state = create_train_state(
-                model, jax.random.PRNGKey(0), batch["rgb"][:1], make_optimizer(lr=1e-4)
-            )
-            new_state, metrics = make_train_step(model, donate=False)(state, batch)
-            results[impl] = (
-                float(metrics["loss"]),
-                float(metrics["grad_norm"]),
-                jax.tree.map(np.asarray, new_state.params),
-            )
-            print(f"  train step [{impl:12s}] loss={results[impl][0]:.6f} "
-                  f"grad_norm={results[impl][1]:.6f}", flush=True)
-        l0, n0, p0 = results["xla"]
-        for impl in ("pallas", "pallas_full"):
-            l1, n1, p1 = results[impl]
-            dp = max(
-                float(np.abs(a - b).max())
-                for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1))
-            )
-            rel = max(abs(l1 - l0) / max(abs(l0), 1e-9), abs(n1 - n0) / max(n0, 1e-9))
-            report(f"composed step {impl}", max(rel, dp), 1e-4)
+        run_composed(jax, jnp, np, rng, spec, report)
 
     print("ALL PASS" if not failures else f"{failures} FAILURES", flush=True)
     sys.exit(1 if failures else 0)
+
+
+def run_composed(jax, jnp, np, rng, spec, report):
+    """One full tiny train step per kernel_impl; compare loss, grad-norm,
+    and the post-update parameter trees elementwise (the composition that
+    catches backward wrongness AND compile-time OOMs in one artifact)."""
+    from omnifusion_tpu.models import SphericalFusion
+    from omnifusion_tpu.training import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    kw = dict(
+        spec=spec,
+        depth=2,
+        encoder_stages=((64, 1, 1), (128, 1, 2), (256, 1, 2), (512, 1, 2)),
+    )
+    batch = {
+        "rgb": jnp.asarray(rng.random((64, spec.erp_h, spec.erp_w, 3), dtype=np.float32)),
+        "depth": jnp.asarray((rng.random((64, spec.erp_h, spec.erp_w, 1)) * 7 + 0.3).astype(np.float32)),
+        "mask": jnp.ones((64, spec.erp_h, spec.erp_w, 1), jnp.float32),
+    }
+    results = {}
+    for impl in ("xla", "pallas", "pallas_full"):
+        model = SphericalFusion(**kw, kernel_impl=impl)
+        state = create_train_state(
+            model, jax.random.PRNGKey(0), batch["rgb"][:1], make_optimizer(lr=1e-4)
+        )
+        new_state, metrics = make_train_step(model, donate=False)(state, batch)
+        results[impl] = (
+            float(metrics["loss"]),
+            float(metrics["grad_norm"]),
+            jax.tree.map(np.asarray, new_state.params),
+        )
+        print(f"  train step [{impl:12s}] loss={results[impl][0]:.6f} "
+              f"grad_norm={results[impl][1]:.6f}", flush=True)
+    l0, n0, p0 = results["xla"]
+    for impl in ("pallas", "pallas_full"):
+        l1, n1, p1 = results[impl]
+        dp = max(
+            float(np.abs(a - b).max())
+            for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1))
+        )
+        rel = max(abs(l1 - l0) / max(abs(l0), 1e-9), abs(n1 - n0) / max(n0, 1e-9))
+        report(f"composed step {impl}", max(rel, dp), 1e-4)
 
 
 if __name__ == "__main__":
