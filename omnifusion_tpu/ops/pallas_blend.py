@@ -1,26 +1,32 @@
-"""Pallas TPU kernel for the post-gather quad blend-reduce.
+"""Pallas TPU kernels for the post-gather quad blend-reduce (d-major).
 
 The round-3 xplane profile of the b=64 flagship forward showed that the
-pers2equi merge's cost is NOT the gather itself (~8-16 ms at ~260 GB/s) but
-the data movement XLA schedules around it: a retiling reshape of the gather
-result, the blend einsum's operand copies, and the output relayout
-transposes (PERF_NOTES.md round-2/3 profiles; the reference's equivalent is
-the advanced-index gather + masked normalize of pers2equi_v3.py:171-196).
+pers2equi merge's cost is NOT the gather itself (~16 ms at the measured
+random-row rate) but the data movement XLA schedules around it: operand
+copies feeding the blend einsum, a retiling reshape of the gather result,
+and output relayout transposes (PERF_NOTES.md round-2/3 profiles; the
+reference's equivalent is the advanced-index gather + masked normalize of
+pers2equi_v3.py:171-196).
 
-This module removes all of it:
+Round-4 redesign — D-MAJOR end to end.  The first (round-3) kernel consumed
+the gather result PIXEL-major ((M, 4D) rows), but the chipless AOT compile
+of that graph shows XLA materializing a 1.07 GB transpose between the
+gather and the kernel, plus a pre-pack and an output transpose: the TPU
+gather's native layouts are operand {0,1} / result {1,0} in the (4D, N)
+column-gather formulation — d-major, the exact layout the XLA einsum path
+uses.  So the kernels now consume it directly:
 
-  * the gather is expressed INDEX-MAJOR — operand ``(N_in, 4*D)``, result
-    ``(M, 4*D)`` — which is the physical layout XLA's layout assignment
-    already chose for the merge gather (operand {0,1}, result {1,0} in the
-    profile), so the logical program finally matches the physical one and
-    no retile is needed;
-  * a Pallas kernel (``_blend_kernel``) consumes the gather result directly
-    from VMEM blocks and does the weighted quad reduction in f32 on the VPU,
-    writing ``(N_out, D)`` — zero intermediate copies.
+  * pack: (4*D, N_in) quad-packed source, corner blocks on the LEADING
+    axis (identical to ops/sparse_blend.py's proven pack — one fused pass);
+  * one column gather PER K-SLOT: (4*D, N_pad) each — same index count and
+    bytes as the single k-major gather, but the result feeds the kernel's
+    (4*D, blk) blocks with NO reshape, NO transpose;
+  * the kernel blends on the VPU in f32 and writes (D, blk) blocks of the
+    (D, N_out) CHANNEL-FIRST result — which is what the confidence merge
+    consumes, so the output transpose disappears too.
 
-The kernel pads D (the batch*channel dim) up to a full 128-lane multiple;
-very narrow callers take the XLA path in sparse_blend.py instead (the
-auto-fallback there keeps the padded-fetch waste bounded).
+f16 sources ride as int16 bits with an exact in-kernel integer decode
+(mosaic has no f16 vector type — see _f16_bits_to_f32).
 """
 
 from __future__ import annotations
@@ -61,32 +67,41 @@ def _to_f32(v):
     return _f16_bits_to_f32(v) if v.dtype == jnp.int16 else v.astype(jnp.float32)
 
 
-def _blend_kernel(g_ref, w_ref, o_ref, *, K: int, D: int):
-    # Mosaic-friendly: no vector shape casts anywhere — the (K, 4) reduction
-    # unrolls into static slices (g) and lane-broadcast columns (w).  (An
-    # earlier (blk, K*4) -> (blk, K, 4, 1) reshape of the weights was
-    # rejected by infer-vector-layout on real TPU.)
-    acc = jnp.zeros(o_ref.shape, jnp.float32)
+def _sublane_mult(dtype) -> int:
+    """Minimum sublane multiple for a dtype's VMEM tile (f32 8, 16-bit 16)."""
+    return 16 if jnp.dtype(dtype).itemsize == 2 else 8
+
+
+def _dm_blend_kernel(*refs, K: int, D: int):
+    """g_k (4D, blk) quad-packed columns + w (K*4, blk) -> o (D, blk):
+    o[d, n] = sum_{k,q} w[k*4+q, n] * g_k[q*D+d, n].  All f32 on the VPU;
+    every store is one full block (the only store pattern verified exact on
+    real mosaic — see tools/verify_kernels.py history)."""
+    g_refs, w_ref, o_ref = refs[:K], refs[K], refs[K + 1]
+    acc = jnp.zeros(o_ref.shape, jnp.float32)  # (D, blk)
     for k in range(K):
+        g = _to_f32(g_refs[k][:])  # (4D, blk), read once per k
         for q in range(4):
-            wcol = w_ref[:, k * 4 + q : k * 4 + q + 1]  # (blk, 1) f32
-            g = _to_f32(g_ref[k, :, q * D : (q + 1) * D])  # (blk, D)
-            acc = acc + g * wcol
+            acc = acc + g[q * D : (q + 1) * D] * w_ref[k * 4 + q : k * 4 + q + 1, :]
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
-def blend_reduce(
-    g3: jnp.ndarray,
-    w4: jnp.ndarray,
-    blk: int = 256,
-    interpret=None,
-    out_dtype=jnp.float32,
-) -> jnp.ndarray:
-    """(K, N_pad, 4*D) k-major gather rows + (N_pad, K, 4) f32 weights ->
-    (N_pad, D) in ``out_dtype`` (accumulation is always f32 on the VPU).
+def _dm_spread_kernel(*refs, K: int, D: int):
+    """Backward: g_k (D, blk) cotangent columns + w (K*4, blk) ->
+    o (4D, blk): o[q*D+d, n] = sum_k w[k*4+q, n] * g_k[d, n].  Planes are
+    accumulated in registers and stored ONCE, sublane-concatenated."""
+    g_refs, w_ref, o_ref = refs[:K], refs[K], refs[K + 1]
+    accs = [jnp.zeros((D, o_ref.shape[1]), jnp.float32) for _ in range(4)]
+    for k in range(K):
+        g = _to_f32(g_refs[k][:])  # (D, blk), read once per k
+        for q in range(4):
+            accs[q] = accs[q] + g * w_ref[k * 4 + q : k * 4 + q + 1, :]
+    o_ref[:] = jnp.concatenate(accs, axis=0).astype(o_ref.dtype)
 
-    int16 gather rows are interpreted as float16 BITS and integer-decoded
-    in-kernel (mosaic has no f16 vector type)."""
+
+def _dm_call(kernel, gs, w2, out_rows, blk, interpret, out_dtype=jnp.float32):
+    """Shared pallas_call plumbing: K d-major operands (R, N_pad) + weights
+    (K*4, N_pad) -> (out_rows, N_pad), gridded over N in blk-lane blocks."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -95,87 +110,104 @@ def blend_reduce(
         # driver's virtual-device dryrun) run the kernel interpreted
         interpret = jax.default_backend() != "tpu"
 
-    k, n_pad, r = g3.shape
-    d = r // 4
-    assert n_pad % blk == 0, (g3.shape, blk)
+    k = len(gs)
+    n_pad = gs[0].shape[1]
+    assert n_pad % blk == 0 and w2.shape == (k * 4, n_pad), (
+        [g.shape for g in gs], w2.shape, blk,
+    )
+    g_specs = [
+        pl.BlockSpec((g.shape[0], blk), lambda i: (0, i), memory_space=pltpu.VMEM)
+        for g in gs
+    ]
+    w_spec = pl.BlockSpec((k * 4, blk), lambda i: (0, i), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_blend_kernel, K=k, D=d),
-        out_shape=jax.ShapeDtypeStruct((n_pad, d), out_dtype),
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((out_rows, n_pad), out_dtype),
         grid=(n_pad // blk,),
-        in_specs=[
-            pl.BlockSpec((k, blk, r), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk, k * 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((blk, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        in_specs=g_specs + [w_spec],
+        out_specs=pl.BlockSpec((out_rows, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(g3, w4.reshape(n_pad, k * 4).astype(jnp.float32))
+    )(*gs, w2)
 
 
-def _gather_blend_pixel_major(
-    src_cf, idx, w4, tail_pix, tail_idx, tail_w, row_stride, blk, interpret,
-    out_dtype=jnp.float32,
-):
-    """Shared core: (B, C, N_in) channel-first source -> (N_out, D=B*C)
-    pixel-major result in ``out_dtype`` (padding stripped from N_out, not
-    yet from D)."""
+def blend_reduce(
+    gs, w2, interpret=None, out_dtype=jnp.float32, blk: int = 512
+) -> jnp.ndarray:
+    """K d-major gather results [(4D, N_pad)] + (K*4, N_pad) f32 weights ->
+    (D, N_pad) in ``out_dtype`` (accumulation is always f32 on the VPU).
+
+    int16 operands are interpreted as float16 BITS and integer-decoded
+    in-kernel (mosaic has no f16 vector type)."""
+    d = gs[0].shape[0] // 4
+    kern = functools.partial(_dm_blend_kernel, K=len(gs), D=d)
+    return _dm_call(kern, list(gs), w2, d, blk, interpret, out_dtype)
+
+
+def spread_4plane(gs, w2, interpret=None, blk: int = 512) -> jnp.ndarray:
+    """K d-major cotangent fetches [(D, N_pad)] + (K*4, N_pad) f32 weights
+    -> (4D, N_pad) corner planes: out[q*D+d, n] = sum_k w[k*4+q, n]*g_k[d, n].
+
+    The backward kernel as a standalone callable so tools/verify_kernels.py
+    can bisect it against jnp.einsum on IDENTICAL operands (kernel
+    miscompile vs glue/table error vs reference-precision noise)."""
+    d = gs[0].shape[0]
+    kern = functools.partial(_dm_spread_kernel, K=len(gs), D=d)
+    return _dm_call(kern, list(gs), w2, 4 * d, blk, interpret)
+
+
+def _pack_dmajor(src_cf, row_stride):
+    """(B, C, N_in) -> quad-packed (4*Dp, N_in) d-major source (+ Dp).
+
+    Identical pack to ops/sparse_blend.py (corner blocks on the leading
+    axis, one fused XLA pass); rows pad to the dtype's sublane tile so the
+    kernel's (4*Dp, blk) blocks are layout-exact.  f16 ships as int16 BITS
+    (bitcast pinned to this 2D view — hoisting it above the caller's
+    relayout once gave the s16 temp a minor-dim-3 tiled layout with 42.7x
+    padding and an 8 GB HBM OOM, measurements.log 2026-08-18)."""
     b, c, n_in = src_cf.shape
     s = src_cf.reshape(b * c, n_in)
     if s.dtype == jnp.float16:
-        # Mosaic can't type f16; ship the BITS (same-width bitcast is free,
-        # the gather is dtype-agnostic) and decode in-kernel (_f16_bits_to_f32).
-        # The barrier pins the bitcast to THIS 2D view: without it XLA hoists
-        # the bitcast above the caller's (B,N,C)->(B,C,N) relayout and assigns
-        # the s16 temp a minor-dim-3 tiled layout whose T(8,128) padding
-        # expands 192 MB to 8 GB and OOMs HBM (measurements.log 2026-08-18,
-        # pallas_merge_micro e2p at b=64).
         s = jax.lax.optimization_barrier(s)
         s = jax.lax.bitcast_convert_type(s, jnp.int16)
-    # pad D straight to a full 128-lane multiple (which also clears the XLA
-    # gather's 64-byte leading-dim fast-path gate by a wide margin)
-    d_pad = -(-(b * c) // 128) * 128
+    d_pad = -(-(b * c) // _sublane_mult(s.dtype)) * _sublane_mult(s.dtype)
     if d_pad > b * c:
-        s = jnp.concatenate(
-            [s, jnp.zeros((d_pad - b * c, n_in), s.dtype)], axis=0
-        )
-    st = s.T  # layout-only: XLA assigns the pack's physical layout d-minor anyway
+        s = jnp.concatenate([s, jnp.zeros((d_pad - b * c, n_in), s.dtype)], axis=0)
     packed = jnp.concatenate(
         [
-            st,
-            jnp.roll(st, -1, axis=0),
-            jnp.roll(st, -row_stride, axis=0),
-            jnp.roll(st, -(row_stride + 1), axis=0),
+            s,
+            jnp.roll(s, -1, axis=1),
+            jnp.roll(s, -row_stride, axis=1),
+            jnp.roll(s, -(row_stride + 1), axis=1),
         ],
-        axis=1,
-    )  # (N_in, 4*D) — quad corner blocks ride the minor dim, d-minor
+        axis=0,
+    )  # (4*Dp, N_in), quad order [00, 01, 10, 11] in leading blocks
+    return packed, d_pad
 
-    idx = np.asarray(idx)
-    w4 = np.asarray(w4, np.float32)
-    n_out, k = idx.shape
-    pad = -n_out % blk
+
+def _pad_cols(a: np.ndarray, blk: int):
+    n = a.shape[0]
+    pad = -n % blk
     if pad:
-        idx = np.concatenate([idx, np.zeros((pad, k), idx.dtype)])
-        w4 = np.concatenate([w4, np.zeros((pad, k, 4), w4.dtype)])
+        a = np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)])
+    return a, n + pad
 
-    # k-major flattening: the kernel block sees slot k as a static leading
-    # index (no strided row access, no vector reshapes)
-    g = jnp.take(packed, idx.T.reshape(-1), axis=0).reshape(k, -1, packed.shape[1])
-    out = blend_reduce(
-        g, jnp.asarray(w4), blk=blk, interpret=interpret, out_dtype=out_dtype
+
+def _scatter_add_cols(out, pix, updates):
+    """out (R, N) += updates (M, R) at columns pix (M, sorted) — the d-major
+    equivalent of the sorted-COO segment_sum, no (R, N)-sized transposes."""
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1,),
+        inserted_window_dims=(1,),
+        scatter_dims_to_operand_dims=(1,),
     )
-    out = out[:n_out]  # (N_out, D)
-
-    if tail_pix is not None and tail_pix.shape[0]:
-        gt = jnp.take(packed, jnp.asarray(tail_idx), axis=0)  # (M, 4*D)
-        if gt.dtype == jnp.int16:  # f16 bits; XLA decodes fine outside mosaic
-            gt = jax.lax.bitcast_convert_type(gt, jnp.float16)
-        tw = jnp.asarray(np.asarray(tail_w, np.float32))
-        tv = jnp.sum(
-            gt.reshape(-1, 4, d_pad).astype(jnp.float32) * tw[:, :, None], axis=1
-        )  # (M, D) — layout-matched with the kernel output, no transpose
-        out = out + jax.ops.segment_sum(
-            tv, jnp.asarray(tail_pix), num_segments=n_out, indices_are_sorted=True
-        ).astype(out.dtype)
-    return out
+    return jax.lax.scatter_add(
+        out,
+        jnp.asarray(pix)[:, None],
+        updates.astype(out.dtype),
+        dnums,
+        indices_are_sorted=True,
+        unique_indices=False,
+    )
 
 
 def quad_gather_blend_pallas(
@@ -186,14 +218,16 @@ def quad_gather_blend_pallas(
     tail_idx,
     tail_w,
     row_stride: int,
-    blk: int = 256,
+    blk: int = 512,
     interpret=None,
 ) -> jnp.ndarray:
-    """Channel-first quad gather-blend with the Pallas blend-reduce.
+    """Channel-first quad gather-blend with the d-major Pallas blend-reduce.
 
     Same sparse map as sparse_blend.capped_quad_gather_blend (capped dense
-    + sorted-COO tail), index-major formulation.  src (B, C, N_in) ->
-    (B, C, N_out).
+    + sorted-COO tail).  src (B, C, N_in) -> (B, C, N_out) with zero
+    relayout transposes: the pack, the per-k column gathers, the kernel
+    blocks, and the channel-first output all live in the same d-major
+    layout XLA's own layout assignment picks for this gather.
 
     Dtype convention: the result is the kernel's f32 accumulator as-is —
     for 16-bit sources this is MORE precise than the XLA path (which
@@ -205,58 +239,30 @@ def quad_gather_blend_pallas(
     the source dtype instead.
     """
     b, c, n_in = src_cf.shape
-    out = _gather_blend_pixel_major(
-        src_cf, idx, w4, tail_pix, tail_idx, tail_w, row_stride, blk, interpret
-    )
-    n_out = out.shape[0]
-    return out[:, : b * c].T.reshape(b, c, n_out)
+    packed, d_pad = _pack_dmajor(src_cf, row_stride)
 
+    idx = np.asarray(idx)
+    w4 = np.asarray(w4, np.float32)
+    n_out, k = idx.shape
+    idx_p, n_pad = _pad_cols(idx, blk)
+    w4_p, _ = _pad_cols(w4, blk)
 
-def _vjp_spread_kernel(g_ref, w_ref, o_ref, *, K: int, D: int):
-    # backward of the quad blend: each fetched cotangent row (D wide) is
-    # weighted into 4 corner planes — out[n, q*D:(q+1)*D] = sum_k w[n,k,q]*g[k,n,d].
-    #
-    # STORE PATTERN MATTERS ON REAL MOSAIC: the round-3 version stored each
-    # q-plane separately (o_ref[:, q*D:(q+1)*D] = acc) and was numerically
-    # WRONG on the chip (verify_kernels FAIL at max|delta|=1.67e-2,
-    # tools/measurements.log 2026-08-18) while passing interpret mode.  This
-    # version mirrors the forward kernel's PROVEN single full-block store:
-    # build all four planes in registers, write o_ref once, lane-concatenated.
-    accs = [jnp.zeros((o_ref.shape[0], D), jnp.float32) for _ in range(4)]
-    for k in range(K):
-        g = _to_f32(g_ref[k])  # (blk, D), read once per k
-        for q in range(4):
-            accs[q] = accs[q] + g * w_ref[:, k * 4 + q : k * 4 + q + 1]
-    o_ref[:] = jnp.concatenate(accs, axis=1).astype(o_ref.dtype)
+    gs = [jnp.take(packed, jnp.asarray(idx_p[:, j]), axis=1) for j in range(k)]
+    w2 = jnp.asarray(np.ascontiguousarray(w4_p.reshape(n_pad, k * 4).T))
+    out = blend_reduce(gs, w2, interpret=interpret, blk=blk)  # (Dp, N_pad)
 
+    if tail_pix is not None and tail_pix.shape[0]:
+        gt = jnp.take(packed, jnp.asarray(tail_idx), axis=1)  # (4Dp, M)
+        if gt.dtype == jnp.int16:  # f16 bits; XLA decodes fine outside mosaic
+            gt = jax.lax.bitcast_convert_type(gt, jnp.float16)
+        gt = gt.astype(jnp.float32)
+        twt = jnp.asarray(np.asarray(tail_w, np.float32).T)  # (4, M)
+        tv = sum(
+            gt[q * d_pad : (q + 1) * d_pad] * twt[q : q + 1, :] for q in range(4)
+        )  # (Dp, M)
+        out = _scatter_add_cols(out, tail_pix, tv.T)
 
-def spread_4plane(
-    g3: jnp.ndarray, w_t2: jnp.ndarray, blk: int = 256, interpret=None
-) -> jnp.ndarray:
-    """(K, N_pad, D) fetched cotangent rows + (N_pad, K*4) f32 weights ->
-    (N_pad, 4*D) corner planes: out[n, q*D:(q+1)*D] = sum_k w[n,k*4+q]*g[k,n].
-
-    The backward kernel as a standalone callable so tools/verify_kernels.py
-    can bisect it against jnp.einsum on IDENTICAL operands (kernel
-    miscompile vs glue/table error)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    k_t, n_pad, d_pad = g3.shape
-    assert n_pad % blk == 0 and w_t2.shape == (n_pad, k_t * 4), (g3.shape, w_t2.shape)
-    return pl.pallas_call(
-        functools.partial(_vjp_spread_kernel, K=k_t, D=d_pad),
-        out_shape=jax.ShapeDtypeStruct((n_pad, 4 * d_pad), jnp.float32),
-        grid=(n_pad // blk,),
-        in_specs=[
-            pl.BlockSpec((k_t, blk, d_pad), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk, k_t * 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((blk, 4 * d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(g3, w_t2)
+    return out[: b * c, :n_out].reshape(b, c, n_out)
 
 
 def transposed_quad_gather_blend_pallas(
@@ -269,18 +275,22 @@ def transposed_quad_gather_blend_pallas(
     n_in: int,
     row_stride: int,
     channel_first: bool = False,
-    blk: int = 256,
+    blk: int = 512,
     interpret=None,
 ) -> jnp.ndarray:
-    """Index-major Pallas backward: apply W^T to a cotangent.
+    """d-major Pallas backward: apply W^T to a cotangent.
 
     Same transposed quad tables as sparse_blend.transposed_quad_gather_blend
     (fan-in-capped dense + sorted-COO overflow, corner offsets recovered by
-    3 rolls), with the gather expressed index-major and the 4-plane weight
-    spread done in a kernel — no retile, no einsum operand copies.
+    3 rolls), with the per-k cotangent gathers, the 4-plane weight spread,
+    and the roll-reduce all in the d-major channel-first domain — no
+    retile, no einsum operand copies, no relayout transposes.
 
     cot: (B, N_out, C), or (B, C, N_out) when ``channel_first``.
     Returns the source cotangent in the same convention.
+
+    Match: the exact adjoint of the reference's 4-corner gather+blend
+    (pers2equi_v3.py:171-196 / grid_sample in equi2pers_v3.py:111).
     """
     if cot.dtype == jnp.float16:  # mosaic has no f16; exact upcast
         cot = cot.astype(jnp.float32)
@@ -291,45 +301,39 @@ def transposed_quad_gather_blend_pallas(
         b, n_out, c = cot.shape
         g2 = cot.transpose(0, 2, 1).reshape(b * c, n_out)
     d = b * c
-    d_pad = -(-d // 128) * 128
+    sm = _sublane_mult(g2.dtype)
+    d_pad = -(-d // sm) * sm
     if d_pad > d:
         g2 = jnp.concatenate([g2, jnp.zeros((d_pad - d, n_out), g2.dtype)], axis=0)
-    ct = g2.T  # (N_out, D) index-major; layout-only
 
     idx_t = np.asarray(idx_t)
     w_t = np.asarray(w_t, np.float32)
     n_rows, k_t = idx_t.shape
     assert n_rows == n_in, (idx_t.shape, n_in)
-    pad = -n_in % blk
-    if pad:
-        idx_t = np.concatenate([idx_t, np.zeros((pad, k_t), idx_t.dtype)])
-        w_t = np.concatenate([w_t, np.zeros((pad, k_t, 4), w_t.dtype)])
-    n_pad = n_in + pad
+    idx_p, n_pad = _pad_cols(idx_t, blk)
+    w_p, _ = _pad_cols(w_t, blk)
 
-    g3 = jnp.take(ct, idx_t.T.reshape(-1), axis=0).reshape(k_t, n_pad, d_pad)
-    out4 = spread_4plane(
-        g3, jnp.asarray(w_t.reshape(n_pad, k_t * 4)), blk=blk, interpret=interpret
-    )
-    out4 = out4[:n_in]  # (N_in, 4D)
+    gs = [jnp.take(g2, jnp.asarray(idx_p[:, j]), axis=1) for j in range(k_t)]
+    w2 = jnp.asarray(np.ascontiguousarray(w_p.reshape(n_pad, k_t * 4).T))
+    out4 = spread_4plane(gs, w2, interpret=interpret, blk=blk)  # (4Dp, N_pad)
+    out4 = out4[:, :n_in]
 
     if over_src is not None and np.asarray(over_src).shape[0]:
-        vals = jnp.take(ct, jnp.asarray(over_src), axis=0)  # (M, D)
+        vals = jnp.take(g2, jnp.asarray(over_src), axis=1)  # (Dp, M)
         ow = jnp.asarray(np.asarray(over_w, np.float32))  # (M, 4)
         contrib = (
-            vals.astype(jnp.float32)[:, None, :] * ow[:, :, None]
-        ).reshape(-1, 4 * d_pad)
-        out4 = out4 + jax.ops.segment_sum(
-            contrib, jnp.asarray(over_dst), num_segments=n_in, indices_are_sorted=True
-        )
+            vals.T.astype(jnp.float32)[:, None, :] * ow[:, :, None]
+        ).reshape(-1, 4 * d_pad)  # (M, 4Dp) q-major, matching out4's rows
+        out4 = _scatter_add_cols(out4, over_dst, contrib)
 
     # corner offsets [0, 1, W, W+1] recovered by rolls on the PIXEL axis
     out = (
-        out4[:, :d_pad]
-        + jnp.roll(out4[:, d_pad : 2 * d_pad], 1, axis=0)
-        + jnp.roll(out4[:, 2 * d_pad : 3 * d_pad], row_stride, axis=0)
-        + jnp.roll(out4[:, 3 * d_pad :], row_stride + 1, axis=0)
+        out4[:d_pad]
+        + jnp.roll(out4[d_pad : 2 * d_pad], 1, axis=1)
+        + jnp.roll(out4[2 * d_pad : 3 * d_pad], row_stride, axis=1)
+        + jnp.roll(out4[3 * d_pad :], row_stride + 1, axis=1)
     )
-    out = out[:, :d].T.reshape(b, c, n_in)
+    out = out[:d].reshape(b, c, n_in)
     return out if channel_first else out.transpose(0, 2, 1)
 
 
@@ -338,24 +342,29 @@ def quad_gather_blend_pallas_cl(
     idx: np.ndarray,
     w4: np.ndarray,
     row_stride: int,
-    blk: int = 256,
+    blk: int = 512,
     interpret=None,
 ) -> jnp.ndarray:
     """Channel-LAST wrapper: (B, N_in, C) -> (B, N_out, C).
 
     For the equi2pers direction (K=1, no COO tail), whose consumers (the
-    conv trunk) want channel-last patch stacks.  The kernel output arrives
-    pixel-major (N_out, B, C); one (1,0,2) transpose lands it channel-last —
-    cheaper than the XLA path's retile + blend copies it replaces.
+    conv trunk) want channel-last patch stacks.  The kernel computes in the
+    d-major domain; the one (0,2,1) transpose back to channel-last replaces
+    the XLA path's retile + blend copies AND its own output transpose.
     """
     b, n_in, c = src_flat.shape
     src_cf = src_flat.transpose(0, 2, 1)  # same relayout the XLA path does
     # mosaic can't type f16 output refs either: emit f32 and convert outside
     out_dtype = jnp.float32 if src_flat.dtype == jnp.float16 else src_flat.dtype
-    out = _gather_blend_pixel_major(
-        src_cf, idx, w4, None, None, None, row_stride, blk, interpret,
-        out_dtype=out_dtype,
-    ).astype(src_flat.dtype)
-    n_out = out.shape[0]
-    out = out[:, : b * c].reshape(n_out, b, c)
-    return out.transpose(1, 0, 2)
+    packed, d_pad = _pack_dmajor(src_cf, row_stride)
+
+    idx = np.asarray(idx)
+    w4 = np.asarray(w4, np.float32)
+    n_out, k = idx.shape
+    idx_p, n_pad = _pad_cols(idx, blk)
+    w4_p, _ = _pad_cols(w4, blk)
+    gs = [jnp.take(packed, jnp.asarray(idx_p[:, j]), axis=1) for j in range(k)]
+    w2 = jnp.asarray(np.ascontiguousarray(w4_p.reshape(n_pad, k * 4).T))
+    out = blend_reduce(gs, w2, interpret=interpret, blk=blk, out_dtype=out_dtype)
+    out = out[: b * c, :n_out].astype(src_flat.dtype)
+    return out.reshape(b, c, n_out).transpose(0, 2, 1)

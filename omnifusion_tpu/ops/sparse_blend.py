@@ -311,17 +311,19 @@ def quad_gather_blend_with_vjp(
         c = src_flat.shape[1] if channel_first else src_flat.shape[2]
 
         def _vmem_ok(k_slots: int) -> bool:
-            # Per grid step the kernel holds (double-buffered) a
-            # (k, blk=256, 4*d_pad) gather block at source width, a
-            # (blk, 4k) f32 weight block, a (blk, d_pad) f32 output block,
-            # and ~2 blk x d_pad f32 decode/accumulate temporaries.  Gate
-            # against the ~16 MB/core VMEM budget; larger configs (wide
-            # batch x cap-K merges) take the XLA path instead of failing
-            # Mosaic compilation on the chip.
-            d_pad = -(-(b * c) // 128) * 128
+            # Per grid step the d-major kernel holds (double-buffered) K
+            # (4*d_pad, blk=512) gather blocks at source width, a
+            # (4K, blk) f32 weight block, a (d_pad, blk) f32 output block
+            # (double-buffered), and the f32 accumulator/decode temps.
+            # Gate against the ~16 MB/core VMEM budget; larger configs
+            # (wide batch x cap-K merges) take the XLA path instead of
+            # failing Mosaic compilation on the chip.
+            d_pad = -(-(b * c) // 8) * 8
             isz = src_flat.dtype.itemsize
-            est = 2 * 256 * (k_slots * 4 * d_pad * isz + 4 * k_slots * 4 + d_pad * 4)
-            est += 2 * 256 * d_pad * 4
+            blk = 512
+            est = 2 * k_slots * 4 * d_pad * blk * isz  # gather blocks
+            est += 2 * d_pad * blk * 4  # output blocks
+            est += 6 * d_pad * blk * 4  # acc + decode temps
             return est < 12e6
 
         # below one full 128-lane vector the kernel's lane padding outweighs

@@ -96,15 +96,15 @@ def main():
     # accumulates exact f32 on the VPU).  The default-vs-exact line keeps
     # that rounding visible so nobody re-tightens the wrong comparison.
     k_t = np.asarray(gp.vjp[0]).shape[1]
-    g3 = jnp.asarray(rng.random((k_t, 4096, 128), dtype=np.float32))
-    w2 = jnp.asarray(rng.random((4096, k_t * 4), dtype=np.float32))
-    out_k = jax.jit(spread_4plane)(g3, w2)
+    g3 = jnp.asarray(rng.random((k_t, 128, 4096), dtype=np.float32))
+    w2 = jnp.asarray(rng.random((k_t * 4, 4096), dtype=np.float32))
+    out_k = jax.jit(lambda g, w: spread_4plane(list(g), w))(g3, w2)
 
     def ein(precision):
         return jax.jit(
             lambda g, w: jnp.einsum(
-                "knd,nkq->nqd", g, w.reshape(4096, k_t, 4), precision=precision
-            ).reshape(4096, 4 * 128)
+                "kdn,kqn->qdn", g, w.reshape(k_t, 4, 4096), precision=precision
+            ).reshape(4 * 128, 4096)
         )(g3, w2)
 
     out_hi = ein(jax.lax.Precision.HIGHEST)
