@@ -86,13 +86,23 @@ def add_common_args(parser: argparse.ArgumentParser, train: bool):
         "--kernel_impl",
         default="xla",
         choices=["xla", "pallas", "pallas_full"],
-        help="compute-kernel implementation for the projection blends and "
-        "decoder upsamples: 'pallas' removes XLA's retile/relayout data "
-        "movement at wide batch (single-chip throughput mode; narrow "
-        "batches auto-fall-back per op; gradients stay on the verified XLA "
+        help="compute-kernel implementation for the projection blends: "
+        "'pallas' removes XLA's retile/relayout data movement at wide "
+        "batch (single-chip throughput mode; narrow batches "
+        "auto-fall-back per op; gradients stay on the verified XLA "
         "transposed-table path).  'pallas_full' additionally routes the "
         "BACKWARD through the Pallas transposed kernel — use only behind a "
         "green tools/verify_kernels.py run on your chip",
+    )
+    parser.add_argument(
+        "--resize_impl",
+        default="xla",
+        choices=["xla", "pallas"],
+        help="decoder 2x-upsample implementation, decoupled from "
+        "--kernel_impl: the fused pallas stencil measured 48.7 ms vs XLA's "
+        "15.3 ms for the 5 decoder stages at the flagship batch "
+        "(tools/measurements.log resize_shootout) — keep 'xla' unless your "
+        "config measures otherwise",
     )
     parser.add_argument("--remat", action="store_true", help="rematerialize the encoder (saves HBM)")
     parser.add_argument(
@@ -216,6 +226,7 @@ def build_model(args):
         use_transformer=not getattr(args, "no_transformer", False),
         remat=getattr(args, "remat", False),
         kernel_impl=getattr(args, "kernel_impl", "xla"),
+        resize_impl=getattr(args, "resize_impl", "xla"),
     )
     if args.model == "iterative":
         return SphericalFusionIterative(num_iters=args.iters, **kw), spec

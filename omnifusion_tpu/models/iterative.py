@@ -45,8 +45,10 @@ class SphericalFusionIterative(nn.Module):
     dtype: Optional[jnp.dtype] = None
     # precision of the final merge gather; None = f32 (see confidence_merge)
     merge_dtype: Optional[jnp.dtype] = None
-    # "pallas" = index-major Pallas blend-reduce for both projections (see SphericalFusion)
+    # "pallas" = d-major Pallas blend-reduce for both projections (see SphericalFusion)
     kernel_impl: str = "xla"
+    # decoder-resize impl, decoupled from kernel_impl (see SphericalFusion)
+    resize_impl: str = "xla"
 
     @nn.compact
     def __call__(self, rgb, train: bool = False, confidence: bool = False):
@@ -65,6 +67,7 @@ class SphericalFusionIterative(nn.Module):
             axis_name=self.axis_name,
             dtype=self.dtype,
             kernel_impl=self.kernel_impl,
+            resize_impl=self.resize_impl,
             name="trunk",
         )
         mlp1 = MlpPoints(axis_name=self.axis_name, dtype=self.dtype, name="mlp_points1")

@@ -86,8 +86,14 @@ class DepthTrunk(nn.Module):
     encoder_stages: Optional[tuple] = None  # override = compile-bounded dryruns
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
-    # "pallas" = fused 2x-upsample stencil for the decoder resizes
     kernel_impl: str = "xla"
+    # decoder-resize implementation, decoupled from kernel_impl: the fused
+    # pallas 2x stencil measured 48.7 ms vs XLA's 15.3 ms for the 5 decoder
+    # stages at the flagship batch (tools/measurements.log 2026-08-19,
+    # resize_shootout) — grid-step overhead dominates its byte savings — so
+    # "pallas" kernel_impl composes with the FASTER XLA resize by default
+    # and the stencil stays an explicit opt-in
+    resize_impl: str = "xla"
 
     @nn.compact
     def __call__(self, patches, point_feat, train: bool = False):
@@ -145,7 +151,7 @@ class DepthTrunk(nn.Module):
                 )(tok_sp.reshape(b * p, hh, ww, 32))
 
         def up_stage(x, skip, c0, c1, name0, name1):
-            x = resize_bilinear(x, (skip.shape[1], skip.shape[2]), impl=self.kernel_impl)
+            x = resize_bilinear(x, (skip.shape[1], skip.shape[2]), impl=self.resize_impl)
             x = ConvBnReLU(c0, name=name0, **kw)(x, train=train)
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
             return ConvBnReLU(c1, name=name1, **kw)(x, train=train)
@@ -154,7 +160,7 @@ class DepthTrunk(nn.Module):
         x = up_stage(x, l2, 128, 64, "de_conv1_0", "de_conv1_1")
         x = up_stage(x, l1, 64, 64, "de_conv2_0", "de_conv2_1")
         x = up_stage(x, conv1, 64, 32, "de_conv3_0", "de_conv3_1")
-        x = resize_bilinear(x, (h, w), impl=self.kernel_impl)
+        x = resize_bilinear(x, (h, w), impl=self.resize_impl)
         x = ConvBnReLU(32, name="de_conv4_0", **kw)(x, train=train)
 
         # fused heads: both 3x3 convs read the same (B*P, h, w, 32) feature
@@ -232,10 +238,13 @@ class SphericalFusion(nn.Module):
     # precision of the final merge gather; None = f32 (the default even when
     # dtype=bf16 — see confidence_merge)
     merge_dtype: Optional[jnp.dtype] = None
-    # "pallas" = index-major Pallas blend-reduce for BOTH projections
+    # "pallas" = d-major Pallas blend-reduce for BOTH projections
     # (single-chip throughput mode; auto-falls-back when batch*channel
     # doesn't fill a 128-lane vector)
     kernel_impl: str = "xla"
+    # decoder-resize impl ("pallas" = fused 2x stencil, measured slower than
+    # XLA at the flagship batch — see DepthTrunk.resize_impl)
+    resize_impl: str = "xla"
 
     @nn.compact
     def __call__(self, rgb, train: bool = False, confidence: bool = True):
@@ -276,6 +285,7 @@ class SphericalFusion(nn.Module):
             axis_name=self.axis_name,
             dtype=self.dtype,
             kernel_impl=self.kernel_impl,
+            resize_impl=self.resize_impl,
             name="trunk",
         )(patches, pf[None], train=train)
 

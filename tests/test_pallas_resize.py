@@ -38,3 +38,42 @@ def test_resize_bilinear_falls_back_for_non_2x():
     ref = resize_bilinear(x, (12, 20))
     got = resize_bilinear(x, (12, 20), impl="pallas")
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_model_resize_impl_decoupled_from_kernel_impl(monkeypatch):
+    # kernel_impl="pallas" must NOT route the decoder resizes to the pallas
+    # stencil: the on-chip shootout measured it at 48.7 ms vs XLA's 15.3 ms
+    # for the 5 decoder stages at the flagship batch (measurements.log
+    # 2026-08-19 resize_shootout), so the composed pallas mode ships the
+    # faster XLA resize and the stencil is the explicit resize_impl opt-in.
+    import numpy as np
+    from omnifusion_tpu.models import SphericalFusion
+    from omnifusion_tpu.ops import pallas_resize
+    from omnifusion_tpu.projection import ProjectionSpec
+
+    spec = ProjectionSpec.create((64, 128), (16, 16), (80, 80), nrows=4)
+    rgb = jnp.asarray(
+        np.random.default_rng(3).random((1, 64, 128, 3), dtype=np.float32)
+    )
+    kw = dict(
+        spec=spec,
+        depth=2,
+        encoder_stages=((64, 1, 1), (128, 1, 2), (256, 1, 2), (512, 1, 2)),
+    )
+
+    calls = []
+    real = pallas_resize.upsample2x_bilinear
+
+    def counted(x, interpret=None):
+        calls.append(x.shape)
+        return real(x, interpret)
+
+    monkeypatch.setattr(pallas_resize, "upsample2x_bilinear", counted)
+
+    m = SphericalFusion(**kw, kernel_impl="pallas")
+    variables = m.init(jax.random.PRNGKey(0), rgb)
+    m.apply(variables, rgb, train=False)
+    assert not calls, f"pallas resize reached under kernel_impl='pallas': {calls}"
+
+    SphericalFusion(**kw, resize_impl="pallas").apply(variables, rgb, train=False)
+    assert calls, "resize_impl='pallas' did not route to the stencil kernel"

@@ -33,24 +33,30 @@ LOG = os.path.join(REPO, "tools", "measurements.log")
 QUEUE = [
     # the round's gate, split so each half fits one short tunnel-up window:
     # kernel bisects + flagship-shape resize, then the composed train-step
-    # cross-check (3 tiny train-step compiles)
+    # cross-check (3 tiny train-step compiles).  The composed check's first
+    # on-chip run (04:10) "failed" on an Adam artifact (first-step updates
+    # are +-lr, so elementwise param comparison = sign(grad) agreement) —
+    # re-run with the SGD(1.0) gradient-extraction + kink-aware gate.
     ("verify_kernels", ["tools/verify_kernels.py", "--skip_model"], 700),
     ("verify_composed", ["tools/verify_kernels.py", "--only_model"], 900),
-    ("resize_shootout", ["tools/bench_resize.py", "--batch", "64"], 420),
-    ("pallas_merge_micro", ["tools/bench_pallas_merge.py", "--batch", "64",
-                            "--dtypes", "f16,f32", "--only", "merge"], 420),
+    # decision-critical d-major micro benches, one dtype per process so each
+    # fits its cap (the combined f16,f32 run TIMED OUT at 420s on 01:28)
+    ("pallas_merge_micro_f16", ["tools/bench_pallas_merge.py", "--batch", "64",
+                                "--dtypes", "f16", "--only", "merge"], 420),
     ("pallas_e2p_micro", ["tools/bench_pallas_merge.py", "--batch", "64",
                           "--dtypes", "f16", "--only", "e2p"], 420),
+    # composed-forward shootout at the bench config (kernel_impl pallas now
+    # composes with the measured-faster XLA resize via resize_impl's default)
     ("components_xla_b64", ["tools/bench_components.py", "--batch", "64",
                             "--bf16", "--merge_dtype", "f16",
                             "--only", "e2p,merge,trunk"], 600),
-    ("components_xla_full", ["tools/bench_components.py", "--batch", "64",
-                             "--bf16", "--merge_dtype", "f16",
-                             "--only", "full"], 900),
     ("components_pallas_b64", ["tools/bench_components.py", "--batch", "64",
                                "--bf16", "--merge_dtype", "f16",
                                "--kernel_impl", "pallas",
                                "--only", "e2p,merge,trunk"], 600),
+    ("components_xla_full", ["tools/bench_components.py", "--batch", "64",
+                             "--bf16", "--merge_dtype", "f16",
+                             "--only", "full"], 900),
     ("components_pallas_full", ["tools/bench_components.py", "--batch", "64",
                                 "--bf16", "--merge_dtype", "f16",
                                 "--kernel_impl", "pallas",
@@ -62,10 +68,15 @@ QUEUE = [
                    "--merge_dtype", "f16"], 700),
     # "pallas" keeps gradients on the verified XLA transpose (safe to bench
     # regardless of verify_kernels); "pallas_full" numbers only count if
-    # verify_kernels went green above
+    # verify_kernels + verify_composed went green above
     ("train_b32_pallas", ["tools/bench_train.py", "--batch", "32", "--bf16",
                           "--merge_dtype", "f16",
                           "--kernel_impl", "pallas"], 700),
+    ("train_b32_pallas_full", ["tools/bench_train.py", "--batch", "32",
+                               "--bf16", "--merge_dtype", "f16",
+                               "--kernel_impl", "pallas_full"], 700),
+    ("pallas_merge_micro_f32", ["tools/bench_pallas_merge.py", "--batch", "64",
+                                "--dtypes", "f32", "--only", "merge"], 420),
     ("xtra_profile_pallas_b64", ["tools/profile_forward.py", "--batch", "64",
                                  "--bf16", "--merge_dtype", "f16",
                                  "--kernel_impl", "pallas"], 700),
