@@ -53,7 +53,11 @@ def canary():
     print(f"canary ok: {jax.default_backend()} {v:.3f}", flush=True)
 
 
-WARM_MARKER = "bench_headline.warm"  # written by worker() after its compile
+# written by worker() after its compile; per-impl so a pallas measurement
+# can't inherit the xla graph's warm signal (different executables)
+WARM_MARKER = (
+    f"bench_headline.{os.environ.get('BENCH_KERNEL_IMPL', 'xla')}.warm"
+)
 
 
 def worker():
@@ -115,14 +119,21 @@ def worker():
     # inside the 1e-3 parity bar, for +10.5% end-to-end throughput.
     # (The f32 measurement lives in PERF_NOTES via tools/bench_components.py;
     # one model here keeps a cold-compile attempt inside the retry budget.)
+    # BENCH_KERNEL_IMPL lets the queue/operator measure the pallas-projection
+    # composition through the same harness; the checked-in default is the
+    # config the committed on-chip record says is fastest AND green.
+    impl = os.environ.get("BENCH_KERNEL_IMPL", "xla")
     bf16 = measure(
-        SphericalFusion(spec=spec, dtype=jnp.bfloat16, merge_dtype=jnp.float16)
+        SphericalFusion(
+            spec=spec, dtype=jnp.bfloat16, merge_dtype=jnp.float16, kernel_impl=impl
+        )
     )
+    impl_tag = "" if impl == "xla" else f", {impl} projections"
     print(
         json.dumps(
             {
                 "metric": "panoramas/sec/chip (512x1024 ERP, fov 80, nrows 4, "
-                "one-shot, bf16 trunk + f16 merge)",
+                f"one-shot, bf16 trunk + f16 merge{impl_tag})",
                 "value": round(bf16, 2),
                 "unit": "panoramas/sec",
                 "vs_baseline": round(bf16 / REFERENCE_PANOS_PER_SEC, 2),
