@@ -26,11 +26,35 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LOG = os.path.join(REPO, "tools", "measurements.log")
 
 # (name, argv, timeout_s) — timeouts include one cold compile of the step's
-# graphs on this host's cache; warm re-runs finish in a fraction.  Round-4
-# queue: prove the repaired Pallas path green (VERDICT r3 #1-#4), then
-# collect the b=64 Pallas-vs-XLA verdict and the train re-profile (#3/#8).
-# Payloads are SPLIT to their budgets (#6): one component per process.
+# graphs on this host's cache; warm re-runs finish in a fraction.
+#
+# Round-4b follow-up queue (the round-4 main queue completed 06:30Z with
+# 15/16 ok): finish the gather calibration the timed-out xtra_sol_calibrate
+# started (now phased to its budget), attribute the in-model XLA-path stage
+# costs with a fresh profile (bench_components numbers are NOT additive —
+# the composed forward overlaps stages), and re-test the batch sweep at
+# b>=96 under the current code (per-index gather cost amortizes with row
+# width).
 QUEUE = [
+    ("sol_cal_stream", ["tools/sol_model.py", "--calibrate", "stream",
+                        "--no_account"], 300),
+    ("sol_cal_gather", ["tools/sol_model.py", "--calibrate", "gather",
+                        "--no_account"], 600),
+    ("sol_cal_order", ["tools/sol_model.py", "--calibrate", "order",
+                       "--no_account"], 600),
+    ("xtra_profile_xla_b64", ["tools/profile_forward.py", "--batch", "64",
+                              "--bf16", "--merge_dtype", "f16"], 700),
+    # split per batch so a b=128 HBM OOM cannot take the b=96 datapoint
+    ("sweep_b96", ["tools/bench_sweep.py", "--batches", "96",
+                   "--modes", "f16_merge"], 700),
+    ("sweep_b128", ["tools/bench_sweep.py", "--batches", "128",
+                    "--modes", "f16_merge"], 700),
+]
+
+# Round-4 main queue, completed 2026-08-19 06:30Z (15/16 ok; the failed
+# combined calibrate is superseded by the phased entries above).  Kept for
+# the record; run with --queue r4.
+QUEUE_R4 = [
     # the round's gate, split so each half fits one short tunnel-up window:
     # kernel bisects + flagship-shape resize, then the composed train-step
     # cross-check (3 tiny train-step compiles).  The composed check's first
@@ -137,13 +161,15 @@ def run_step(name: str, argv: list[str], timeout: float) -> bool:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", help="substring filter on step names")
+    ap.add_argument("--queue", choices=("r4b", "r4"), default="r4b")
     ap.add_argument("--list", action="store_true")
     ap.add_argument("--max_probes", type=int, default=20,
                     help="canary probes per step before skipping it")
     ap.add_argument("--probe_sleep", type=float, default=120.0)
     args = ap.parse_args()
 
-    steps = [s for s in QUEUE if not args.only or args.only in s[0]]
+    queue = QUEUE if args.queue == "r4b" else QUEUE_R4
+    steps = [s for s in queue if not args.only or args.only in s[0]]
     if args.list:
         for name, argv, cap in steps:
             print(f"{name:24s} {' '.join(argv)}  (cap {cap}s)")

@@ -40,19 +40,42 @@ sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(_
 from omnifusion_tpu.cli.common import apply_runtime_env  # noqa: E402
 
 MXU_TFLOPS = 168.0  # chained-matmul calibration, PERF_NOTES.md
-# Placeholder bandwidth defaults until a --calibrate run lands in
-# tools/measurements.log (override with --stream_gbs/--gather_gbs or replace
-# these once calibrated): STREAM from the v5e spec-sheet ballpark, GATHER
-# from the xplane-measured merge-gather rate (PERF_NOTES round-3 profile).
-DEFAULT_STREAM_GBS = 700.0
-DEFAULT_GATHER_GBS = 260.0
+# Measured on-chip 2026-08-19 (measurements.log, xtra_sol_calibrate):
+# 16x saxpy over 1 GiB, chained-scan device-time protocol.
+DEFAULT_STREAM_GBS = 409.9
+# Random row-gather cost by row width, ns per index (same run).  The
+# gather is PER-INDEX bound: ~9.5 ns of issue cost per index plus a
+# ~105 GB/s marginal byte rate — far below streaming HBM, which is why
+# the round-3 byte-rate floor (260 GB/s) was not a real floor.
+GATHER_NS_BY_ROW_BYTES = ((256, 11.98), (512, 13.97), (1024, 18.27), (2048, 29.07))
+
+
+def gather_ns_per_index(row_bytes: float) -> float:
+    """Piecewise-linear interpolation of the calibrated ns/index table
+    (nearest-segment slope outside it)."""
+    pts = GATHER_NS_BY_ROW_BYTES
+    if row_bytes <= pts[0][0]:
+        (x0, y0), (x1, y1) = pts[0], pts[1]
+    elif row_bytes >= pts[-1][0]:
+        (x0, y0), (x1, y1) = pts[-2], pts[-1]
+    else:
+        for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+            if x0 <= row_bytes <= x1:
+                break
+    t = y0 + (row_bytes - x0) * (y1 - y0) / (x1 - x0)
+    return max(t, 1.0)
 
 
 def _pad(n, m):
     return -(-n // m) * m
 
 
-def calibrate():
+def calibrate(phase: str = "all"):
+    """phase: "stream" | "gather" (random width sweep) | "order" (sorted/
+    sequential) | "all".  Split so each phase fits one measurement-queue
+    cap — the combined run TIMED OUT at 500 s on 2026-08-19 (each probe
+    compiles its own jit; the compiles, not the kernels, blew the budget).
+    """
     apply_runtime_env()
     import jax
     import jax.numpy as jnp
@@ -64,55 +87,28 @@ def calibrate():
     # long enough that kernel time dominates dispatch (ADVICE r3).
     REPS, BEST_OF = 16, 3
 
-    n = 1 << 28  # 1 GiB f32
-    x = jnp.asarray(np.random.default_rng(0).random(n, np.float32))
+    if phase in ("stream", "all"):
+        n = 1 << 28  # 1 GiB f32
+        x = jnp.asarray(np.random.default_rng(0).random(n, np.float32))
 
-    @jax.jit
-    def stream(x, s):
-        def step(v, _):
-            return v * s + jnp.float32(1.0), v[0]
+        @jax.jit
+        def stream(x, s):
+            def step(v, _):
+                return v * s + jnp.float32(1.0), v[0]
 
-        v, outs = jax.lax.scan(step, x, None, length=REPS)
-        return outs.sum() + v[1]
+            v, outs = jax.lax.scan(step, x, None, length=REPS)
+            return outs.sum() + v[1]
 
-    float(stream(x, jnp.float32(1.0)))  # compile+warm
-    dts = []
-    for i in range(BEST_OF):
-        t0 = time.perf_counter()
-        float(stream(x, jnp.float32(1.0 + 1e-7 * (i + 1))))
-        dts.append(time.perf_counter() - t0)
-    dt = min(dts)
-    gbs = REPS * (2 * x.nbytes) / dt / 1e9  # read + write per scan step
-    print(f"stream: {gbs:.1f} GB/s  ({dt*1e3:.1f} ms for {REPS}x saxpy over 1 GiB)")
-
-    rows, width = 1 << 20, 512  # 1 Gi of f16 rows, merge-gather shaped
-    src = jnp.asarray(
-        np.random.default_rng(1).random((rows, width), np.float32).astype(np.float16)
-    )
-    idx = jnp.asarray(np.random.default_rng(2).integers(0, rows - 1, rows, np.int32))
-
-    @jax.jit
-    def gath(src, idx, s):
-        # per-step index variation from the STEP COUNTER (the round-3
-        # accumulator-derived perturbation was always 0 at runtime — ADVICE
-        # r3); idx < rows-1 so idx+1 stays in range, and the scalar data
-        # dependence through acc keeps the chain unelidable.
-        def step(acc, t):
-            g = jnp.take(src, idx + t % 2, axis=0)
-            return acc + g.astype(jnp.float32).sum() * s, ()
-
-        acc, _ = jax.lax.scan(step, jnp.float32(0.0), jnp.arange(REPS), length=REPS)
-        return acc
-
-    float(gath(src, idx, jnp.float32(0.0)))
-    dts = []
-    for i in range(BEST_OF):
-        t0 = time.perf_counter()
-        float(gath(src, idx, jnp.float32(1e-30 * (i + 1))))
-        dts.append(time.perf_counter() - t0)
-    dt = min(dts)
-    ggbs = REPS * src.nbytes / dt / 1e9
-    print(f"gather: {ggbs:.1f} GB/s  (random f16 rows of {width*2} B)")
+        float(stream(x, jnp.float32(1.0)))  # compile+warm
+        dts = []
+        for i in range(BEST_OF):
+            t0 = time.perf_counter()
+            float(stream(x, jnp.float32(1.0 + 1e-7 * (i + 1))))
+            dts.append(time.perf_counter() - t0)
+        dt = min(dts)
+        gbs = REPS * (2 * x.nbytes) / dt / 1e9  # read + write per scan step
+        print(f"stream: {gbs:.1f} GB/s  ({dt*1e3:.1f} ms for {REPS}x saxpy over 1 GiB)")
+        del x
 
     # --- gather structure sweep: per-index vs per-byte, and does index
     # ORDER matter?  (informs whether the merge gather is at the hardware
@@ -152,14 +148,16 @@ def calibrate():
             f"row={width_p * 2} B, {order})"
         )
 
-    for width_p, rows_p in ((128, 1 << 22), (256, 1 << 21), (512, 1 << 20), (1024, 1 << 19)):
-        probe(f"w{width_p * 2}B/random", rows_p, width_p, "random")
-    probe("w1024B/sorted", 1 << 20, 512, "sorted")
-    probe("w1024B/sequential", 1 << 20, 512, "sequential")
-    return gbs, ggbs
+    if phase in ("gather", "all"):
+        for width_p, rows_p in ((128, 1 << 22), (256, 1 << 21), (512, 1 << 20), (1024, 1 << 19)):
+            probe(f"w{width_p * 2}B/random", rows_p, width_p, "random")
+    if phase in ("order", "all"):
+        probe("w1024B/random", 1 << 20, 512, "random")  # same-shape baseline
+        probe("w1024B/sorted", 1 << 20, 512, "sorted")
+        probe("w1024B/sequential", 1 << 20, 512, "sequential")
 
 
-def account(batch: int, stream_gbs: float, gather_gbs: float):
+def account(batch: int, stream_gbs: float):
     apply_runtime_env()
     import jax
 
@@ -224,41 +222,53 @@ def account(batch: int, stream_gbs: float, gather_gbs: float):
     ca = ca[0] if isinstance(ca, (list, tuple)) else ca
     flops = float(ca["flops"]) * B
 
-    rows = []  # (stage, floor_bytes, impl_bytes, note)
+    # rows: (stage, floor_bytes, stream_bytes, n_gather_idx, gather_row_bytes)
+    # impl time = stream_bytes/stream_rate + n_idx * gather_ns(row_bytes).
+    # The gather term uses the CALIBRATED per-index cost table (2026-08-19,
+    # measurements.log) — the round-3 byte-rate gather model (260 GB/s) was
+    # falsified on-chip: the projection gathers are per-index-bound.
+    rows = []
 
-    # equi2pers: bf16 source (model casts before the projection)
+    # equi2pers: bf16 source (model casts before the projection); one live
+    # quad per output pixel (pure resampling), so the capped index count IS
+    # the index floor.
     d = B * 3
-    d_pad = _pad(d, 128)
+    d_pad = _pad(d, 64)  # ops/sparse_blend._pad_leading pads to 64 elements
     n_out_pad = _pad(n_pp, 256)
     e2p_floor = (B * 3 * n_erp + B * 3 * n_pp) * 2
-    e2p_impl = (
+    e2p_stream = (
         B * 3 * n_erp * 2  # pack reads the source
         + n_erp * 4 * d_pad * 2  # pack writes 4 corner blocks, lane-padded
-        + n_out_pad * 4 * d_pad * 2  # gather reads one quad row per pixel
         + n_out_pad * d_pad * 2  # kernel writes (N, D)
         + 2 * n_out_pad * d_pad * 2  # channel-last transpose read+write
     )
-    rows.append(("equi2pers (pallas impl)", e2p_floor, e2p_impl, "gather-rate bound"))
+    rows.append(("equi2pers", e2p_floor, e2p_stream, n_out_pad, 4 * d_pad * 2))
 
     # merge: f16 gather, f32 kernel output, capped dense + COO tail
     idx_c, w_c, tail_pix, tail_idx, tail_w = g_p2e.capped
     cap, m_tail = idx_c.shape[1], int(np.asarray(tail_pix).shape[0])
+    live_dense = int(np.count_nonzero(np.abs(np.asarray(w_c)).sum(-1)))
     d = B * 2
-    d_pad = _pad(d, 128)
+    d_pad = _pad(d, 64)  # see _pad_leading
     n_out_pad = _pad(n_erp, 256)
     mrg_floor = B * 2 * n_pp * 2 + B * n_erp * 4
-    mrg_impl = (
+    mrg_stream = (
         B * 2 * n_pp * 2  # pack reads pred*conf / conf planes
         + n_pp * 4 * d_pad * 2  # pack writes quad blocks
-        + cap * n_out_pad * 4 * d_pad * 2  # capped dense gather rows
-        + m_tail * 4 * d_pad * 2  # COO tail rows
         + n_out_pad * cap * 4 * 4  # f32 weights
         + n_out_pad * d_pad * 4  # kernel writes f32
         + 3 * B * n_erp * 4  # num/den read + depth write (f32 division)
     )
+    mrg_idx = cap * n_out_pad + m_tail
     rows.append(
-        (f"merge (cap={cap}, tail={m_tail})", mrg_floor, mrg_impl, "gather-rate bound")
+        (f"merge (cap={cap}, tail={m_tail})", mrg_floor, mrg_stream, mrg_idx, 4 * d_pad * 2)
     )
+    # index floor: ANY gather formulation must issue >= one index per live
+    # quad (the windowed-gather negative result, PERF_NOTES) at unpadded
+    # 4*D row bytes — the headroom between this and the impl row is the
+    # dense-slot dead fraction plus lane padding, nothing else.
+    live_quads = live_dense + m_tail
+    idx_floor_ms = live_quads * gather_ns_per_index(4 * d * 2) / 1e6
 
     # decoder resizes: floor = in+out once; XLA's separable 2-pass writes
     # and re-reads the half-resized intermediate
@@ -268,8 +278,8 @@ def account(batch: int, stream_gbs: float, gather_gbs: float):
         a, mid, b_ = bi * hi * wi * ci, bi * ho * wi * ci, bi * ho * wo * co
         rs_floor += (a + b_) * el
         rs_xla += (a + 2 * mid + b_) * el
-    rows.append((f"decoder resizes x{len(resizes)} (pallas=floor)", rs_floor, rs_floor, "stream-rate"))
-    rows.append(("decoder resizes (XLA 2-pass)", rs_floor, rs_xla, "stream-rate"))
+    rows.append((f"decoder resizes x{len(resizes)} (pallas=floor)", rs_floor, rs_floor, 0, 0))
+    rows.append(("decoder resizes (XLA 2-pass)", rs_floor, rs_xla, 0, 0))
 
     # --- conv roofline: per-conv floor and a lane-aware achievable estimate.
     # The MXU contracts over K = kh*kw*Cin rows and emits Cout lanes; a conv
@@ -295,39 +305,49 @@ def account(batch: int, stream_gbs: float, gather_gbs: float):
           f"lane-aware estimate {conv_est_ms:.1f} ms")
     print(f"model FLOPs (XLA cost analysis): {flops/1e12:.2f} TFLOP "
           f"-> MXU floor {mxu_ms:.1f} ms at {MXU_TFLOPS:.0f} TFLOP/s")
-    print(f"rates: stream {stream_gbs:.0f} GB/s, random-gather {gather_gbs:.0f} GB/s\n")
-    print(f"{'stage':38s} {'floor MB':>9s} {'floor ms':>9s} {'impl MB':>9s} {'impl ms':>9s}")
+    print(f"rates: stream {stream_gbs:.0f} GB/s; gather per-index "
+          f"{GATHER_NS_BY_ROW_BYTES} (row-bytes, ns/idx)\n")
+    print(f"{'stage':38s} {'floor ms':>9s} {'gthr ms':>9s} {'strm ms':>9s} {'impl ms':>9s}")
     tot_floor = tot_impl = 0.0
-    for name, fb, ib, kind in rows:
-        rate = gather_gbs if kind.startswith("gather") else stream_gbs
-        fms, ims = fb / (stream_gbs * 1e6), ib / (rate * 1e6)
+    for name, fb, sb, n_idx, row_b in rows:
+        fms = fb / (stream_gbs * 1e6)
+        gms = n_idx * gather_ns_per_index(row_b) / 1e6 if n_idx else 0.0
+        sms = sb / (stream_gbs * 1e6)
+        ims = gms + sms
         if "XLA 2-pass" not in name:
             tot_floor += fms
             tot_impl += ims
-        print(f"{name:38s} {fb/1e6:9.0f} {fms:9.2f} {ib/1e6:9.0f} {ims:9.2f}")
-    print(f"\nnon-trunk HBM floor {tot_floor:.1f} ms / current-impl bound "
-          f"{tot_impl:.1f} ms;  + MXU floor {mxu_ms:.1f} ms (overlaps with the"
-          " trunk's own HBM time, not with the projection stages)")
+        print(f"{name:38s} {fms:9.2f} {gms:9.2f} {sms:9.2f} {ims:9.2f}")
+    print(f"\nmerge index floor (any gather formulation): {live_quads} live "
+          f"quads x {gather_ns_per_index(4 * (B * 2) * 2):.1f} ns = {idx_floor_ms:.1f} ms")
+    print(f"non-trunk floor {tot_floor:.1f} ms (byte floor; the gather index "
+          f"floor above binds tighter) / current-impl bound {tot_impl:.1f} ms;"
+          f"  + MXU floor {mxu_ms:.1f} ms (overlaps with the trunk's own HBM"
+          " time, not with the projection stages)")
     print(json.dumps({
         "flops_t": round(flops / 1e12, 3),
         "mxu_floor_ms": round(mxu_ms, 2),
         "nontrunk_floor_ms": round(tot_floor, 2),
         "nontrunk_impl_bound_ms": round(tot_impl, 2),
+        "merge_index_floor_ms": round(idx_floor_ms, 2),
     }))
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
-    ap.add_argument("--calibrate", action="store_true", help="measure HBM rates (TPU)")
+    ap.add_argument("--calibrate", nargs="?", const="all",
+                    choices=("all", "stream", "gather", "order"),
+                    help="measure HBM rates on the chip (phased so each fits "
+                         "a measurement-queue cap); accounting still runs after")
     ap.add_argument("--stream_gbs", type=float, default=DEFAULT_STREAM_GBS)
-    ap.add_argument("--gather_gbs", type=float, default=DEFAULT_GATHER_GBS)
+    ap.add_argument("--no_account", action="store_true",
+                    help="calibrate only (skip the accounting pass)")
     args = ap.parse_args()
     if args.calibrate:
-        s, g = calibrate()
-        account(args.batch, s, g)
-    else:
-        account(args.batch, args.stream_gbs, args.gather_gbs)
+        calibrate(args.calibrate)
+    if not args.no_account:
+        account(args.batch, args.stream_gbs)
 
 
 if __name__ == "__main__":
