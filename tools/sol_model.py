@@ -157,7 +157,7 @@ def calibrate(phase: str = "all"):
         probe("w1024B/sequential", 1 << 20, 512, "sequential")
 
 
-def account(batch: int, stream_gbs: float):
+def account(batch: int, stream_gbs: float, train: bool = False):
     apply_runtime_env()
     import jax
 
@@ -332,6 +332,52 @@ def account(batch: int, stream_gbs: float):
         "merge_index_floor_ms": round(idx_floor_ms, 2),
     }))
 
+    if not train:
+        return
+
+    # --- train-step bound (VERDICT-r3 #8): forward + backward + update.
+    # Convs: backward-data and backward-weights each cost ~forward FLOPs
+    # (same contraction sizes), so the lane-aware estimate scales x3.
+    # Resizes: the bilinear adjoint moves the same bytes -> x2.
+    # Projections: forward gathers as above, plus each custom VJP's
+    # transposed-table gather (quad-granular: indices = dense K_T table +
+    # COO overflow, rows = d_pad cotangent lanes — the 4-corner split is
+    # recovered by rolls at stream rate, charged as 4x the gather output).
+    print("\n--- train step bound ---")
+    conv3 = 3.0 * conv_est_ms
+    rs2 = 2.0 * rs_xla / (stream_gbs * 1e6)
+
+    def vjp_gather(vjp, d_lanes, el, n_in_t):
+        idx_t, w_t, over_src, over_dst, over_w = vjp
+        n_idx = int(np.asarray(idx_t).size) + int(np.asarray(over_src).shape[0])
+        d_pad = _pad(d_lanes, 64)
+        g_ms = n_idx * gather_ns_per_index(d_pad * el) / 1e6
+        # pack reads cotangent + gather result write + 3 rolls + scatter out
+        s_bytes = (2 * n_in_t * d_pad + 5 * n_idx * d_pad) * el
+        return g_ms + s_bytes / (stream_gbs * 1e6), n_idx
+
+    e2p_bwd_ms, e2p_bwd_idx = vjp_gather(g_e2p.vjp, B * 3, 2, n_erp)
+    mrg_bwd_ms, mrg_bwd_idx = vjp_gather(g_p2e.vjp, B * 2, 2, n_pp)
+    fwd_proj_ms = sum(
+        sb / (stream_gbs * 1e6) + n_i * gather_ns_per_index(rb) / 1e6
+        for name, fb, sb, n_i, rb in rows
+        if "XLA 2-pass" not in name and "resizes" not in name
+    )
+    # optimizer: Adam reads p/m/v/g and writes p/m/v (7 f32 passes over
+    # the 42.5M-param tree), plus the grad tree written once by the bwd
+    n_params = 42.5e6
+    opt_ms = n_params * 8 * 4 / (stream_gbs * 1e6)
+    total = conv3 + rs2 + fwd_proj_ms + e2p_bwd_ms + mrg_bwd_ms + opt_ms
+    print(f"convs x3 (fwd + bwd-data + bwd-weights): {conv3:8.1f} ms")
+    print(f"resizes x2 (XLA 2-pass + adjoint):       {rs2:8.1f} ms")
+    print(f"projection forwards:                     {fwd_proj_ms:8.1f} ms")
+    print(f"e2p transposed VJP  ({e2p_bwd_idx} idx):  {e2p_bwd_ms:8.1f} ms")
+    print(f"merge transposed VJP ({mrg_bwd_idx} idx): {mrg_bwd_ms:8.1f} ms")
+    print(f"optimizer update (42.5M params, Adam):   {opt_ms:8.1f} ms")
+    print(f"train-step accounted bound:              {total:8.1f} ms "
+          "(+ BN stats, loss, layout copies)")
+    print(json.dumps({"train_bound_ms": round(total, 1)}))
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -343,11 +389,13 @@ def main():
     ap.add_argument("--stream_gbs", type=float, default=DEFAULT_STREAM_GBS)
     ap.add_argument("--no_account", action="store_true",
                     help="calibrate only (skip the accounting pass)")
+    ap.add_argument("--train", action="store_true",
+                    help="also print the train-step bound (fwd+bwd+update)")
     args = ap.parse_args()
     if args.calibrate:
         calibrate(args.calibrate)
     if not args.no_account:
-        account(args.batch, args.stream_gbs)
+        account(args.batch, args.stream_gbs, train=args.train)
 
 
 if __name__ == "__main__":
