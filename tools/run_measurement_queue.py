@@ -49,6 +49,10 @@ QUEUE = [
                    "--modes", "f16_merge"], 700),
     ("sweep_b128", ["tools/bench_sweep.py", "--batches", "128",
                     "--modes", "f16_merge"], 700),
+    # refresh the iterative-model number (the reference's canonical eval
+    # protocol) under the round-4 code — last measured round 3 (274.3 p/s)
+    ("sweep_iterative_b64", ["tools/bench_sweep.py", "--batches", "64",
+                             "--modes", "f16_merge", "--model", "iterative"], 900),
 ]
 
 # Round-4 main queue, completed 2026-08-19 06:30Z (15/16 ok; the failed
