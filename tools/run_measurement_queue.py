@@ -51,8 +51,14 @@ QUEUE = [
                     "--modes", "f16_merge"], 700),
     # refresh the iterative-model number (the reference's canonical eval
     # protocol) under the round-4 code — last measured round 3 (274.3 p/s)
-    ("sweep_iterative_b64", ["tools/bench_sweep.py", "--batches", "64",
-                             "--modes", "f16_merge", "--model", "iterative"], 900),
+    ("xtd_iterative_b64", ["tools/bench_sweep.py", "--batches", "64",
+                           "--modes", "f16_merge", "--model", "iterative"], 900),
+    # b=128 beat b=64 (587.4 vs 574.7 — per-index gather cost amortizes
+    # with row width); find the knee before moving the bench default
+    ("xtd_sweep_b160", ["tools/bench_sweep.py", "--batches", "160",
+                        "--modes", "f16_merge"], 700),
+    ("xtd_sweep_b192", ["tools/bench_sweep.py", "--batches", "192",
+                        "--modes", "f16_merge"], 700),
 ]
 
 # Round-4 main queue, completed 2026-08-19 06:30Z (15/16 ok; the failed
