@@ -31,7 +31,14 @@ import sys
 import time
 
 REFERENCE_PANOS_PER_SEC = 10.0  # documented estimate, see module docstring
-BATCH = 64  # the TPU gather fast path needs a wide batch*channel dim
+# Wide batch*channel keeps the TPU gather on its vectorized fast path, and
+# the per-INDEX gather cost (the projections' true floor, PERF_NOTES
+# round-4 close-out) amortizes with row width, so throughput climbs with
+# batch until ~b=256: the 2026-08-19 on-chip sweep measured (panos/s)
+# b=64 -> 574.7, 128 -> 587.4, 192 -> 625.3, 256 -> 637.5, 320 -> 627.1
+# (non-multiples of 64 dip on lane padding: 96 -> 541.9, 160 -> 566.5).
+# BENCH_BATCH overrides for sweeps without code edits.
+BATCH = int(os.environ.get("BENCH_BATCH", "256"))
 ITERS = 4
 
 
@@ -53,10 +60,11 @@ def canary():
     print(f"canary ok: {jax.default_backend()} {v:.3f}", flush=True)
 
 
-# written by worker() after its compile; per-impl so a pallas measurement
-# can't inherit the xla graph's warm signal (different executables)
+# written by worker() after its compile; per-impl AND per-batch so a
+# measurement can't inherit another config's warm signal (different
+# executables)
 WARM_MARKER = (
-    f"bench_headline.{os.environ.get('BENCH_KERNEL_IMPL', 'xla')}.warm"
+    f"bench_headline.{os.environ.get('BENCH_KERNEL_IMPL', 'xla')}.b{BATCH}.warm"
 )
 
 
