@@ -59,6 +59,17 @@ QUEUE = [
                         "--modes", "f16_merge"], 700),
     ("xtd_sweep_b192", ["tools/bench_sweep.py", "--batches", "192",
                         "--modes", "f16_merge"], 700),
+    # the multiple-of-64 batches keep climbing (64 -> 574.7, 128 -> 587.4,
+    # 192 -> 625.3 panos/s; 96/160 dip on lane padding) — walk to the knee
+    ("xtd2_sweep_b256", ["tools/bench_sweep.py", "--batches", "256",
+                         "--modes", "f16_merge"], 700),
+    ("xtd2_sweep_b320", ["tools/bench_sweep.py", "--batches", "320",
+                         "--modes", "f16_merge"], 700),
+    ("xtd2_sweep_b384", ["tools/bench_sweep.py", "--batches", "384",
+                         "--modes", "f16_merge"], 700),
+    # validate the moved default (BATCH=256) through the real headline
+    # harness before the driver runs it
+    ("xtd3_bench_b256", ["bench.py"], 1100),
 ]
 
 # Round-4 main queue, completed 2026-08-19 06:30Z (15/16 ok; the failed
