@@ -70,6 +70,14 @@ QUEUE = [
     # validate the moved default (BATCH=256) through the real headline
     # harness before the driver runs it
     ("xtd3_bench_b256", ["bench.py"], 1100),
+    # does the per-index amortization hold for TRAINING too?  b=32 is the
+    # documented 182.4 ms / 20.7% MFU point; b=64 doubles the transposed
+    # gathers' row width (b=128 is the OOM probe — fwd+bwd activations
+    # triple the forward's footprint, so expect it to fail like b=384 fwd)
+    ("xtd4_train_b64", ["tools/bench_train.py", "--batch", "64", "--bf16",
+                        "--merge_dtype", "f16"], 800),
+    ("xtd4_train_b128", ["tools/bench_train.py", "--batch", "128", "--bf16",
+                         "--merge_dtype", "f16"], 800),
 ]
 
 # Round-4 main queue, completed 2026-08-19 06:30Z (15/16 ok; the failed
