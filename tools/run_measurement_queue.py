@@ -76,8 +76,13 @@ QUEUE = [
     # triple the forward's footprint, so expect it to fail like b=384 fwd)
     ("xtd4_train_b64", ["tools/bench_train.py", "--batch", "64", "--bf16",
                         "--merge_dtype", "f16"], 800),
+    # first attempt TIMED OUT at 800s mid-compile (no OOM — the forward
+    # half ran at 625.4 p/s); the b=128 train graph just compiles long
     ("xtd4_train_b128", ["tools/bench_train.py", "--batch", "128", "--bf16",
-                         "--merge_dtype", "f16"], 800),
+                         "--merge_dtype", "f16"], 1500),
+    # pin the wide-row gather regime the b=256 headline actually runs in
+    ("xtd5_cal_gather_wide", ["tools/sol_model.py", "--calibrate",
+                              "gather_wide", "--no_account"], 600),
 ]
 
 # Round-4 main queue, completed 2026-08-19 06:30Z (15/16 ok; the failed

@@ -151,6 +151,11 @@ def calibrate(phase: str = "all"):
     if phase in ("gather", "all"):
         for width_p, rows_p in ((128, 1 << 22), (256, 1 << 21), (512, 1 << 20), (1024, 1 << 19)):
             probe(f"w{width_p * 2}B/random", rows_p, width_p, "random")
+    if phase in ("gather_wide", "all"):
+        # the b=256 headline gathers 4096 B rows — pin the wide-row regime
+        # instead of extrapolating the 256-2048 B table
+        for width_p, rows_p in ((2048, 1 << 18), (4096, 1 << 17)):
+            probe(f"w{width_p * 2}B/random", rows_p, width_p, "random")
     if phase in ("order", "all"):
         probe("w1024B/random", 1 << 20, 512, "random")  # same-shape baseline
         probe("w1024B/sorted", 1 << 20, 512, "sorted")
@@ -383,7 +388,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--calibrate", nargs="?", const="all",
-                    choices=("all", "stream", "gather", "order"),
+                    choices=("all", "stream", "gather", "gather_wide", "order"),
                     help="measure HBM rates on the chip (phased so each fits "
                          "a measurement-queue cap); accounting still runs after")
     ap.add_argument("--stream_gbs", type=float, default=DEFAULT_STREAM_GBS)
