@@ -37,6 +37,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Lane-block width for every d-major kernel below.  sparse_blend._vmem_ok
+# gates pallas routing against THIS value — change it here and the VMEM
+# estimate follows (ADVICE r4: four independent blk=512 defaults let the
+# gate silently desync from the kernels).
+BLK = 512
+
 
 def _f16_bits_to_f32(x16):
     """float16 riding as int16 BITS -> exact f32, integer-decoded on the VPU.
@@ -131,7 +137,7 @@ def _dm_call(kernel, gs, w2, out_rows, blk, interpret, out_dtype=jnp.float32):
 
 
 def blend_reduce(
-    gs, w2, interpret=None, out_dtype=jnp.float32, blk: int = 512
+    gs, w2, interpret=None, out_dtype=jnp.float32, blk: int = BLK
 ) -> jnp.ndarray:
     """K d-major gather results [(4D, N_pad)] + (K*4, N_pad) f32 weights ->
     (D, N_pad) in ``out_dtype`` (accumulation is always f32 on the VPU).
@@ -143,7 +149,7 @@ def blend_reduce(
     return _dm_call(kern, list(gs), w2, d, blk, interpret, out_dtype)
 
 
-def spread_4plane(gs, w2, interpret=None, blk: int = 512) -> jnp.ndarray:
+def spread_4plane(gs, w2, interpret=None, blk: int = BLK) -> jnp.ndarray:
     """K d-major cotangent fetches [(D, N_pad)] + (K*4, N_pad) f32 weights
     -> (4D, N_pad) corner planes: out[q*D+d, n] = sum_k w[k*4+q, n]*g_k[d, n].
 
@@ -218,7 +224,7 @@ def quad_gather_blend_pallas(
     tail_idx,
     tail_w,
     row_stride: int,
-    blk: int = 512,
+    blk: int = BLK,
     interpret=None,
 ) -> jnp.ndarray:
     """Channel-first quad gather-blend with the d-major Pallas blend-reduce.
@@ -275,7 +281,7 @@ def transposed_quad_gather_blend_pallas(
     n_in: int,
     row_stride: int,
     channel_first: bool = False,
-    blk: int = 512,
+    blk: int = BLK,
     interpret=None,
 ) -> jnp.ndarray:
     """d-major Pallas backward: apply W^T to a cotangent.
@@ -342,7 +348,7 @@ def quad_gather_blend_pallas_cl(
     idx: np.ndarray,
     w4: np.ndarray,
     row_stride: int,
-    blk: int = 512,
+    blk: int = BLK,
     interpret=None,
 ) -> jnp.ndarray:
     """Channel-LAST wrapper: (B, N_in, C) -> (B, N_out, C).

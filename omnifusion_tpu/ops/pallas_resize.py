@@ -78,25 +78,35 @@ def _up2x_kernel(xu_ref, xm_ref, xd_ref, o_ref):
     o_ref[:] = out.astype(o_ref.dtype)
 
 
-def _row_block(h: int, w: int, c: int) -> int:
-    """Largest power-of-two row block whose kernel working set fits VMEM.
-
-    Per grid step the kernel holds ~13 f32 copies of the (HB+2, W, C_pad)
-    working set (x, xl/xr/even/odd, the 2W interleave x3, the 2HBx2W output
-    x3) plus double-buffered input/output blocks; C pads to the 128-lane
-    tile.  Budget 10 MB of the ~16 MB scoped-VMEM limit."""
+def _working_set_bytes(hb: int, w: int, c: int) -> float:
+    """Kernel VMEM working set for an HB-row block: ~13 f32 copies of the
+    (HB+2, W, C_pad) tile (x, xl/xr/even/odd, the 2W interleave x3, the
+    2HBx2W output x3) plus double-buffered input/output blocks; C pads to
+    the 128-lane tile.  The single budget both _row_block (tiler) and
+    fits_vmem (router guard) check, so they cannot drift."""
     c_pad = -(-c // 128) * 128
-    row_bytes = w * c_pad * 4
+    return 13 * (hb + 2) * w * c_pad * 4
+
+
+_VMEM_BUDGET = 10e6  # of the ~16 MB scoped-VMEM limit
+
+
+def _row_block(h: int, w: int, c: int) -> int:
+    """Largest row block that both fits the VMEM budget AND divides H.
+
+    The halving loop keeps `h % hb == 0` as an invariant (a non-dividing
+    block would truncate grid=(n, h // hb) and silently skip the last
+    h % hb input rows); hb=1 always divides, so the loop terminates with
+    every row covered for any H."""
     hb = h
-    while hb > 1 and 13 * (hb + 2) * row_bytes > 10e6:
+    while hb > 1 and (h % hb or _working_set_bytes(hb, w, c) > _VMEM_BUDGET):
         hb //= 2
     return hb
 
 
 def fits_vmem(h: int, w: int, c: int) -> bool:
     """True when some row block (>= 1 row) fits the kernel's VMEM budget."""
-    c_pad = -(-c // 128) * 128
-    return 13 * 3 * w * c_pad * 4 <= 10e6
+    return _working_set_bytes(1, w, c) <= _VMEM_BUDGET
 
 
 def _up2x_pallas(x: jnp.ndarray, interpret=None) -> jnp.ndarray:

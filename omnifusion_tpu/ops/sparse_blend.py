@@ -312,15 +312,17 @@ def quad_gather_blend_with_vjp(
 
         def _vmem_ok(k_slots: int) -> bool:
             # Per grid step the d-major kernel holds (double-buffered) K
-            # (4*d_pad, blk=512) gather blocks at source width, a
+            # (4*d_pad, BLK) gather blocks at source width, a
             # (4K, blk) f32 weight block, a (d_pad, blk) f32 output block
             # (double-buffered), and the f32 accumulator/decode temps.
             # Gate against the ~16 MB/core VMEM budget; larger configs
             # (wide batch x cap-K merges) take the XLA path instead of
             # failing Mosaic compilation on the chip.
+            from omnifusion_tpu.ops.pallas_blend import BLK
+
             d_pad = -(-(b * c) // 8) * 8
             isz = src_flat.dtype.itemsize
-            blk = 512
+            blk = BLK
             est = 2 * k_slots * 4 * d_pad * blk * isz  # gather blocks
             est += 2 * d_pad * blk * 4  # output blocks
             est += 6 * d_pad * blk * 4  # acc + decode temps

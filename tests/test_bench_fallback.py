@@ -1,0 +1,72 @@
+"""bench.py outage-fallback honesty (VERDICT r4 weak #1).
+
+The fallback note must carry the last-good record persisted by successful
+runs — never a hardcoded constant that rots across rounds.  Forced by a
+budget too small for any attempt (no TPU needed; runs in a subprocess so
+the suite's CPU-mesh jax config doesn't matter).
+"""
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+REPO = pathlib.Path(__file__).parent.parent
+BENCH = REPO / "bench.py"
+
+
+def _run_fallback(tmp_path, record):
+    lg = tmp_path / "last_good.json"
+    if record is not None:
+        lg.write_text(json.dumps(record))
+    env = dict(os.environ)
+    env["BENCH_TIMEOUT_SECS"] = "30"  # < the 45 s floor -> immediate fallback
+    env["BENCH_LAST_GOOD_PATH"] = str(lg)
+    out = subprocess.run(
+        [sys.executable, str(BENCH)],
+        capture_output=True, text=True, timeout=120, env=env, cwd=str(REPO),
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    assert lines, f"no JSON line emitted: {out.stdout!r} / {out.stderr!r}"
+    return json.loads(lines[-1])
+
+
+@pytest.mark.slow
+def test_fallback_note_carries_stored_record(tmp_path):
+    rec = {
+        "value": 639.18, "unit": "panoramas/sec", "batch": 256,
+        "timestamp": "2026-08-19T10:48:00Z", "commit": "80ef397",
+    }
+    emitted = _run_fallback(tmp_path, rec)
+    assert emitted["value"] == 0.0
+    note = emitted["note"]
+    assert "639.18 panoramas/sec" in note
+    assert "batch 256" in note
+    assert "2026-08-19T10:48:00Z" in note
+    assert "80ef397" in note
+    assert "535.42" not in note  # the round-3 constant must be gone
+
+
+@pytest.mark.slow
+def test_fallback_note_without_record(tmp_path):
+    emitted = _run_fallback(tmp_path, None)
+    assert emitted["value"] == 0.0
+    assert "no last-good record on file" in emitted["note"]
+
+
+def test_save_last_good_roundtrip(tmp_path, monkeypatch):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench_mod", BENCH)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(mod, "LAST_GOOD_PATH", str(tmp_path / "lg.json"))
+    mod._save_last_good({"value": 123.45, "unit": "panoramas/sec", "batch": 64})
+    note = mod._last_good_note()
+    assert "123.45 panoramas/sec" in note
+    assert "batch 64" in note
+    stored = json.loads((tmp_path / "lg.json").read_text())
+    assert stored["timestamp"].endswith("Z") and stored["commit"]

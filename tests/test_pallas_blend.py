@@ -147,7 +147,9 @@ def test_pallas_bwd_gate(small_spec, monkeypatch):
     g_ref = jax.grad(lambda x: (pers2equi_cf(x, gp) ** 2).sum())(x)
     g_got = jax.grad(lambda x: (pers2equi_cf(x, gp, impl="pallas") ** 2).sum())(x)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), atol=1e-4)
-    with pytest.raises(Exception):
+    # only the monkeypatched sentinel may satisfy this — a generic Exception
+    # would also pass on an unrelated shape/import failure (ADVICE r4)
+    with pytest.raises(AssertionError, match="pallas transposed kernel reached"):
         jax.grad(lambda x: (pers2equi_cf(x, gp, impl="pallas_full") ** 2).sum())(x)
 
 

@@ -28,13 +28,52 @@ LOG = os.path.join(REPO, "tools", "measurements.log")
 # (name, argv, timeout_s) — timeouts include one cold compile of the step's
 # graphs on this host's cache; warm re-runs finish in a fraction.
 #
-# Round-4b follow-up queue (the round-4 main queue completed 06:30Z with
-# 15/16 ok): finish the gather calibration the timed-out xtra_sol_calibrate
-# started (now phased to its budget), attribute the in-model XLA-path stage
-# costs with a fresh profile (bench_components numbers are NOT additive —
-# the composed forward overlaps stages), and re-test the batch sweep at
-# b>=96 under the current code (per-index gather cost amortizes with row
-# width).
+# Round-5 queue (VERDICT r4 "next round"): bracket the round with a green
+# bench.py record (#7), settle the TRAINING ceiling with the production
+# donating step + the never-measured --remat at b=96/128 (#1), and give the
+# iterative model the one-shot's treatment — fwd batch knee + first on-chip
+# train numbers (#3).  Every cold compile is a separate --compile_only
+# pre-pass entry so timing caps hold (#6); bench_train emits machine-
+# readable `OOM needed=.. limit=..` lines and exits 0 on HBM exhaustion.
+_T = ["tools/bench_train.py", "--bf16", "--merge_dtype", "f16"]
+QUEUE_R5 = [
+    ("r5_bench_early", ["bench.py"], 1100),
+    # one-shot training ceiling: donation is now production-faithful
+    ("r5c_train_b64", _T + ["--batch", "64", "--compile_only"], 1000),
+    ("r5t_train_b64", _T + ["--batch", "64"], 600),
+    # fresh train profile at the headline batch: locate the ~12 ms of
+    # attention-reshape layout copies the b=32 profile attributed (VERDICT #4)
+    ("r5_profile_train_b64", ["tools/profile_forward.py", "--batch", "64",
+                              "--bf16", "--merge_dtype", "f16", "--train"], 1000),
+    ("r5c_train_b96", _T + ["--batch", "96", "--compile_only"], 1400),
+    ("r5t_train_b96", _T + ["--batch", "96"], 700),
+    ("r5c_train_b128", _T + ["--batch", "128", "--compile_only"], 1800),
+    ("r5t_train_b128", _T + ["--batch", "128"], 800),
+    # remat: trade FLOPs for HBM — quantify its cost where b fits (64) and
+    # its capacity win where b doesn't (128)
+    ("r5c_train_b64_remat", _T + ["--batch", "64", "--remat", "--compile_only"], 1000),
+    ("r5t_train_b64_remat", _T + ["--batch", "64", "--remat"], 600),
+    ("r5c_train_b128_remat", _T + ["--batch", "128", "--remat", "--compile_only"], 1800),
+    ("r5t_train_b128_remat", _T + ["--batch", "128", "--remat"], 800),
+    # iterative model: fwd batch knee (the one-shot gained +11% from b=256)
+    ("r5_iter_sweep_b128", ["tools/bench_sweep.py", "--batches", "128",
+                            "--modes", "f16_merge", "--model", "iterative"], 900),
+    ("r5_iter_sweep_b192", ["tools/bench_sweep.py", "--batches", "192",
+                            "--modes", "f16_merge", "--model", "iterative"], 900),
+    ("r5_iter_sweep_b256", ["tools/bench_sweep.py", "--batches", "256",
+                            "--modes", "f16_merge", "--model", "iterative"], 900),
+    # first on-chip iterative TRAIN numbers (train_erp_depth_iterative.py)
+    ("r5c_train_iter_b32", _T + ["--batch", "32", "--model", "iterative",
+                                 "--skip_fwd", "--compile_only"], 1400),
+    ("r5t_train_iter_b32", _T + ["--batch", "32", "--model", "iterative",
+                                 "--skip_fwd"], 700),
+    ("r5c_train_iter_b64", _T + ["--batch", "64", "--model", "iterative",
+                                 "--skip_fwd", "--compile_only"], 1800),
+    ("r5t_train_iter_b64", _T + ["--batch", "64", "--model", "iterative",
+                                 "--skip_fwd"], 800),
+]
+
+# Round-4b follow-up queue (completed; kept for the record, --queue r4b).
 QUEUE = [
     ("sol_cal_stream", ["tools/sol_model.py", "--calibrate", "stream",
                         "--no_account"], 300),
@@ -195,14 +234,14 @@ def run_step(name: str, argv: list[str], timeout: float) -> bool:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", help="substring filter on step names")
-    ap.add_argument("--queue", choices=("r4b", "r4"), default="r4b")
+    ap.add_argument("--queue", choices=("r5", "r4b", "r4"), default="r5")
     ap.add_argument("--list", action="store_true")
     ap.add_argument("--max_probes", type=int, default=20,
                     help="canary probes per step before skipping it")
     ap.add_argument("--probe_sleep", type=float, default=120.0)
     args = ap.parse_args()
 
-    queue = QUEUE if args.queue == "r4b" else QUEUE_R4
+    queue = {"r5": QUEUE_R5, "r4b": QUEUE, "r4": QUEUE_R4}[args.queue]
     steps = [s for s in queue if not args.only or args.only in s[0]]
     if args.list:
         for name, argv, cap in steps:
