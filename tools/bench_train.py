@@ -83,6 +83,9 @@ def main():
                     help="compile the forward+train graphs into this host's persistent cache and exit")
     ap.add_argument("--skip_fwd", action="store_true",
                     help="skip the inference-forward timing (train-only entries fit tighter caps)")
+    ap.add_argument("--fwd_only", action="store_true",
+                    help="forward only: never build the train step (resolution-scaling probes "
+                         "must not lose the fwd datapoint to a train-compile OOM)")
     args = ap.parse_args()
 
     from omnifusion_tpu.cli.common import apply_runtime_env
@@ -162,6 +165,28 @@ def main():
                 print(_oom_line(e, tag + " phase=fwd_compile"), flush=True)
                 return
             raise
+
+    if args.fwd_only:
+        if args.compile_only:
+            print(f"COMPILE_ONLY ok {tag}", flush=True)
+            return
+        try:
+            float(c_fwd(jnp.float32(1.0), x0, variables))  # warm dispatch
+            t0 = time.perf_counter()
+            float(c_fwd(jnp.float32(1.001), x0, variables))
+            t_fwd = (time.perf_counter() - t0) / args.iters
+            fwd_mfu = fwd_flops / t_fwd / (PEAK_TFLOPS * 1e12)
+            print(
+                f"forward  b={b}: {t_fwd*1e3:8.1f} ms  {b/t_fwd:7.1f} panos/s  "
+                f"{fwd_flops/1e9:.1f} GFLOP  MFU {fwd_mfu*100:.1f}%  ({tag})",
+                flush=True,
+            )
+        except Exception as e:
+            if _is_oom(e):
+                print(_oom_line(e, tag + " phase=fwd_execute"), flush=True)
+                return
+            raise
+        return
 
     # ---- train step: the production donating step ----
     step = make_train_step(model, donate=True)

@@ -47,7 +47,13 @@ DEFAULT_STREAM_GBS = 409.9
 # gather is PER-INDEX bound: ~9.5 ns of issue cost per index plus a
 # ~105 GB/s marginal byte rate — far below streaming HBM, which is why
 # the round-3 byte-rate floor (260 GB/s) was not a real floor.
-GATHER_NS_BY_ROW_BYTES = ((256, 11.98), (512, 13.97), (1024, 18.27), (2048, 29.07))
+# 4096/8192 B rows measured 2026-08-19 13:03 (xtd5_cal_gather_wide) — the
+# b=256 regime; linear extrapolation from the 1024/2048 segment predicted
+# 50.7/93.9, confirming the per-index model holds at wide rows.
+GATHER_NS_BY_ROW_BYTES = (
+    (256, 11.98), (512, 13.97), (1024, 18.27), (2048, 29.07),
+    (4096, 50.55), (8192, 93.03),
+)
 
 
 def gather_ns_per_index(row_bytes: float) -> float:
@@ -162,7 +168,8 @@ def calibrate(phase: str = "all"):
         probe("w1024B/sequential", 1 << 20, 512, "sequential")
 
 
-def account(batch: int, stream_gbs: float, train: bool = False):
+def account(batch: int, stream_gbs: float, train: bool = False,
+            model_kind: str = "oneshot"):
     apply_runtime_env()
     import jax
 
@@ -183,6 +190,12 @@ def account(batch: int, stream_gbs: float, train: bool = False):
     spec = ProjectionSpec.create((512, 1024), (128, 128), (80, 80), nrows=4)
     g_e2p = build_equi2pers_grids(spec)
     g_p2e = build_pers2equi_grids(spec)
+    # iterative (train_erp_depth_iterative.py): the trunk runs `iters` times
+    # sharing weights; each refinement re-projects the previous ERP depth at
+    # quarter patch resolution and every pass ends in a confidence merge.
+    iters = 2 if model_kind == "iterative" else 1
+    spec_q = spec.with_patch_scale(4)
+    g_e2p_q = build_equi2pers_grids(spec_q) if iters > 1 else None
 
     B, H, W = batch, spec.erp_h, spec.erp_w
     P, h, w = spec.n_patches, spec.patch_h, spec.patch_w
@@ -207,7 +220,14 @@ def account(batch: int, stream_gbs: float, train: bool = False):
     sf.resize_bilinear = rec_resize
     jax.lax.conv_general_dilated = rec_conv
     try:
-        model = sf.SphericalFusion(spec=spec, dtype=jnp.bfloat16, merge_dtype=jnp.float16)
+        if model_kind == "iterative":
+            from omnifusion_tpu.models import SphericalFusionIterative
+
+            model = SphericalFusionIterative(
+                spec=spec, num_iters=iters, dtype=jnp.bfloat16, merge_dtype=jnp.float16
+            )
+        else:
+            model = sf.SphericalFusion(spec=spec, dtype=jnp.bfloat16, merge_dtype=jnp.float16)
         rgb = jax.ShapeDtypeStruct((B, H, W, 3), jnp.float32)
         var_shapes = jax.eval_shape(lambda r: model.init(jax.random.PRNGKey(0), r), rgb)
         resizes.clear()  # init traces the forward too — count apply's only
@@ -265,15 +285,34 @@ def account(batch: int, stream_gbs: float, train: bool = False):
         + 3 * B * n_erp * 4  # num/den read + depth write (f32 division)
     )
     mrg_idx = cap * n_out_pad + m_tail
+    mrg_tag = f" x{iters}" if iters > 1 else ""
     rows.append(
-        (f"merge (cap={cap}, tail={m_tail})", mrg_floor, mrg_stream, mrg_idx, 4 * d_pad * 2)
+        (f"merge (cap={cap}, tail={m_tail}){mrg_tag}",
+         iters * mrg_floor, iters * mrg_stream, iters * mrg_idx, 4 * d_pad * 2)
     )
+    if iters > 1:
+        # refinement passes re-project the previous ERP depth (1 channel) at
+        # quarter patch resolution (iterative.py:90)
+        n_pp_q = P * spec_q.patch_h * spec_q.patch_w
+        d_q = B * 1
+        d_q_pad = _pad(d_q, 64)
+        n_q_pad = _pad(n_pp_q, 256)
+        q_floor = (B * n_erp + B * n_pp_q) * 2
+        q_stream = (
+            B * n_erp * 2
+            + n_erp * 4 * d_q_pad * 2
+            + n_q_pad * d_q_pad * 2
+            + 2 * n_q_pad * d_q_pad * 2
+        )
+        rows.append((f"e2p quarter depth x{iters - 1}",
+                     (iters - 1) * q_floor, (iters - 1) * q_stream,
+                     (iters - 1) * n_q_pad, 4 * d_q_pad * 2))
     # index floor: ANY gather formulation must issue >= one index per live
     # quad (the windowed-gather negative result, PERF_NOTES) at unpadded
     # 4*D row bytes — the headroom between this and the impl row is the
     # dense-slot dead fraction plus lane padding, nothing else.
     live_quads = live_dense + m_tail
-    idx_floor_ms = live_quads * gather_ns_per_index(4 * d * 2) / 1e6
+    idx_floor_ms = iters * live_quads * gather_ns_per_index(4 * d * 2) / 1e6
 
     # decoder resizes: floor = in+out once; XLA's separable 2-pass writes
     # and re-reads the half-resized intermediate
@@ -304,7 +343,7 @@ def account(batch: int, stream_gbs: float, train: bool = False):
         conv_bytes += by
 
     mxu_ms = flops / (MXU_TFLOPS * 1e12) * 1e3
-    print(f"batch {B}, flagship 512x1024/p128/f80/n4, bf16 trunk + f16 merge")
+    print(f"batch {B}, {model_kind} 512x1024/p128/f80/n4, bf16 trunk + f16 merge")
     print(f"convs: {len(convs)} ops, {conv_flops/1e12:.2f} TFLOP, "
           f"{conv_bytes/1e9:.2f} GB -> roofline floor {conv_floor_ms:.1f} ms, "
           f"lane-aware estimate {conv_est_ms:.1f} ms")
@@ -323,7 +362,7 @@ def account(batch: int, stream_gbs: float, train: bool = False):
             tot_floor += fms
             tot_impl += ims
         print(f"{name:38s} {fms:9.2f} {gms:9.2f} {sms:9.2f} {ims:9.2f}")
-    print(f"\nmerge index floor (any gather formulation): {live_quads} live "
+    print(f"\nmerge index floor (any gather formulation): {iters}x{live_quads} live "
           f"quads x {gather_ns_per_index(4 * (B * 2) * 2):.1f} ns = {idx_floor_ms:.1f} ms")
     print(f"non-trunk floor {tot_floor:.1f} ms (byte floor; the gather index "
           f"floor above binds tighter) / current-impl bound {tot_impl:.1f} ms;"
@@ -362,26 +401,35 @@ def account(batch: int, stream_gbs: float, train: bool = False):
         return g_ms + s_bytes / (stream_gbs * 1e6), n_idx
 
     e2p_bwd_ms, e2p_bwd_idx = vjp_gather(g_e2p.vjp, B * 3, 2, n_erp)
-    mrg_bwd_ms, mrg_bwd_idx = vjp_gather(g_p2e.vjp, B * 2, 2, n_pp)
+    mrg1_ms, mrg_bwd_idx = vjp_gather(g_p2e.vjp, B * 2, 2, n_pp)
+    mrg_bwd_ms = iters * mrg1_ms
+    q_bwd_ms = q_bwd_idx = 0
+    if iters > 1:  # refinement depth re-projection is param-dependent
+        q1_ms, q_bwd_idx = vjp_gather(g_e2p_q.vjp, B * 1, 2, n_erp)
+        q_bwd_ms = (iters - 1) * q1_ms
     fwd_proj_ms = sum(
         sb / (stream_gbs * 1e6) + n_i * gather_ns_per_index(rb) / 1e6
         for name, fb, sb, n_i, rb in rows
         if "XLA 2-pass" not in name and "resizes" not in name
     )
     # optimizer: Adam reads p/m/v/g and writes p/m/v (7 f32 passes over
-    # the 42.5M-param tree), plus the grad tree written once by the bwd
-    n_params = 42.5e6
+    # the param tree), plus the grad tree written once by the bwd
+    n_params = sum(
+        math.prod(x.shape) for x in jax.tree.leaves(var_shapes["params"])
+    )
     opt_ms = n_params * 8 * 4 / (stream_gbs * 1e6)
-    total = conv3 + rs2 + fwd_proj_ms + e2p_bwd_ms + mrg_bwd_ms + opt_ms
+    total = conv3 + rs2 + fwd_proj_ms + e2p_bwd_ms + mrg_bwd_ms + q_bwd_ms + opt_ms
     print(f"convs x3 (fwd + bwd-data + bwd-weights): {conv3:8.1f} ms")
     print(f"resizes x2 (XLA 2-pass + adjoint):       {rs2:8.1f} ms")
     print(f"projection forwards:                     {fwd_proj_ms:8.1f} ms")
     print(f"e2p transposed VJP  ({e2p_bwd_idx} idx):  {e2p_bwd_ms:8.1f} ms")
-    print(f"merge transposed VJP ({mrg_bwd_idx} idx): {mrg_bwd_ms:8.1f} ms")
-    print(f"optimizer update (42.5M params, Adam):   {opt_ms:8.1f} ms")
+    print(f"merge transposed VJP ({iters}x{mrg_bwd_idx} idx): {mrg_bwd_ms:8.1f} ms")
+    if iters > 1:
+        print(f"quarter-e2p transposed VJP ({q_bwd_idx} idx): {q_bwd_ms:8.1f} ms")
+    print(f"optimizer update ({n_params/1e6:.1f}M params, Adam): {opt_ms:8.1f} ms")
     print(f"train-step accounted bound:              {total:8.1f} ms "
           "(+ BN stats, loss, layout copies)")
-    print(json.dumps({"train_bound_ms": round(total, 1)}))
+    print(json.dumps({"train_bound_ms": round(total, 1), "model": model_kind}))
 
 
 def main():
@@ -396,11 +444,15 @@ def main():
                     help="calibrate only (skip the accounting pass)")
     ap.add_argument("--train", action="store_true",
                     help="also print the train-step bound (fwd+bwd+update)")
+    ap.add_argument("--model", choices=("oneshot", "iterative"), default="oneshot",
+                    help="iterative = 2-pass refinement (trunk x2 shared weights, "
+                         "merge x2, quarter-res depth re-projection)")
     args = ap.parse_args()
     if args.calibrate:
         calibrate(args.calibrate)
     if not args.no_account:
-        account(args.batch, args.stream_gbs, train=args.train)
+        account(args.batch, args.stream_gbs, train=args.train,
+                model_kind=args.model)
 
 
 if __name__ == "__main__":
