@@ -70,3 +70,18 @@ def test_save_last_good_roundtrip(tmp_path, monkeypatch):
     assert "batch 64" in note
     stored = json.loads((tmp_path / "lg.json").read_text())
     assert stored["timestamp"].endswith("Z") and stored["commit"]
+
+
+def test_bench_train_oom_line_parses_xla_message():
+    sys.path.insert(0, str(REPO / "tools"))
+    import bench_train
+
+    e = RuntimeError(
+        "RESOURCE_EXHAUSTED: XLA:TPU compile permanent error. Ran out of "
+        "memory in memory space hbm. Used 19.87G of 15.75G hbm."
+    )
+    assert bench_train._is_oom(e)
+    line = bench_train._oom_line(e, "batch=128 model=oneshot")
+    assert line == "OOM needed=19.87G limit=15.75G batch=128 model=oneshot"
+    unknown = bench_train._oom_line(RuntimeError("RESOURCE_EXHAUSTED: hbm"), "t")
+    assert unknown.startswith("OOM needed=? limit=?")

@@ -73,6 +73,20 @@ QUEUE_R5 = [
                                  "--skip_fwd"], 800),
 ]
 
+# Round-5 phase 2: the resolution-scaling stretch probe (VERDICT #9 —
+# 1024x2048 / nrows 6 / 46 patches; the static tables grow ~4x) and the
+# round-end bench bracket (#7).  Launched after the main r5 queue so the
+# training-ceiling answers land first.
+_H = ["tools/bench_train.py", "--bf16", "--merge_dtype", "f16",
+      "--erp", "1024,2048", "--nrows", "6", "--fwd_only"]
+QUEUE_R5B = [
+    ("r5b_hires_compile_b32", _H + ["--batch", "32", "--compile_only"], 1800),
+    ("r5b_hires_fwd_b32", _H + ["--batch", "32"], 800),
+    ("r5b_hires_compile_b64", _H + ["--batch", "64", "--compile_only"], 1800),
+    ("r5b_hires_fwd_b64", _H + ["--batch", "64"], 800),
+    ("r5b_bench_late", ["bench.py"], 1100),
+]
+
 # Round-4b follow-up queue (completed; kept for the record, --queue r4b).
 QUEUE = [
     ("sol_cal_stream", ["tools/sol_model.py", "--calibrate", "stream",
@@ -234,14 +248,14 @@ def run_step(name: str, argv: list[str], timeout: float) -> bool:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", help="substring filter on step names")
-    ap.add_argument("--queue", choices=("r5", "r4b", "r4"), default="r5")
+    ap.add_argument("--queue", choices=("r5", "r5b", "r4b", "r4"), default="r5")
     ap.add_argument("--list", action="store_true")
     ap.add_argument("--max_probes", type=int, default=20,
                     help="canary probes per step before skipping it")
     ap.add_argument("--probe_sleep", type=float, default=120.0)
     args = ap.parse_args()
 
-    queue = {"r5": QUEUE_R5, "r4b": QUEUE, "r4": QUEUE_R4}[args.queue]
+    queue = {"r5": QUEUE_R5, "r5b": QUEUE_R5B, "r4b": QUEUE, "r4": QUEUE_R4}[args.queue]
     steps = [s for s in queue if not args.only or args.only in s[0]]
     if args.list:
         for name, argv, cap in steps:
