@@ -97,7 +97,7 @@ def add_common_args(parser: argparse.ArgumentParser, train: bool):
     parser.add_argument(
         "--resize_impl",
         default="xla",
-        choices=["xla", "pallas"],
+        choices=["xla", "pallas", "stencil", "conv"],
         help="decoder 2x-upsample implementation, decoupled from "
         "--kernel_impl: the fused pallas stencil measured 48.7 ms vs XLA's "
         "15.3 ms for the 5 decoder stages at the flagship batch "

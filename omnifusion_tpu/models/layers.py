@@ -166,6 +166,53 @@ def max_pool_3x3_s2(x):
     )
 
 
+def _up2x_axis_stencil(x, axis):
+    """Exact half-pixel 2x bilinear upsample along one spatial axis as an
+    elementwise stencil: out[2i] = .25 x[i-1] + .75 x[i] (edge-clamped),
+    out[2i+1] = .75 x[i] + .25 x[i+1] — no dot_generals, so the adjoint is
+    also pure elementwise+interleave (the train-step layout-copy probe,
+    VERDICT r4 weak #6)."""
+    up = jnp.concatenate([x.take(jnp.array([0]), axis), x], axis)
+    dn = jnp.concatenate([x, x.take(jnp.array([x.shape[axis] - 1]), axis)], axis)
+    n = x.shape[axis]
+    even = 0.25 * jax.lax.slice_in_dim(up, 0, n, axis=axis) + 0.75 * x
+    odd = 0.75 * x + 0.25 * jax.lax.slice_in_dim(dn, 1, n + 1, axis=axis)
+    out = jnp.stack([even, odd], axis=axis + 1)
+    return out.reshape(x.shape[: axis] + (2 * n,) + x.shape[axis + 1 :])
+
+
+def _up2x_conv(x):
+    """Exact half-pixel 2x bilinear upsample as two separable DEPTHWISE
+    lhs-dilated convs with the fixed kernel [1/4, 3/4, 3/4, 1/4] over an
+    edge-replicated pad.  Both the forward and its autodiff adjoint are
+    convolutions in NHWC, so XLA's layout assignment sees the same op kind
+    as the neighboring decoder convs (the dot_general formulation of
+    jax.image.resize triggers [*,B*P,*,*] relayout copies in the train
+    backward — measurements.log round 4, copy.1676/1643)."""
+    b, h, w, c = x.shape
+    k = jnp.array([0.25, 0.75, 0.75, 0.25], x.dtype)
+
+    def axis_pass(y, spatial_axis):
+        pad = [(0, 0)] * 4
+        pad[spatial_axis] = (1, 1)
+        y = jnp.pad(y, pad, mode="edge")
+        if spatial_axis == 1:
+            kern = k.reshape(4, 1, 1, 1)
+            dil = (2, 1)
+        else:
+            kern = k.reshape(1, 4, 1, 1)
+            dil = (1, 2)
+        kern = jnp.broadcast_to(kern, kern.shape[:2] + (1, c))
+        return jax.lax.conv_general_dilated(
+            y, kern, (1, 1), ((0, 0), (0, 0)),
+            lhs_dilation=dil,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+        )
+
+    return axis_pass(axis_pass(x, 1), 2)
+
+
 def resize_bilinear(x, size, impl: str = "xla"):
     """torch F.interpolate(mode='bilinear', align_corners=False) in NHWC:
     half-pixel-center linear resize (jax.image.resize semantics).
@@ -173,8 +220,14 @@ def resize_bilinear(x, size, impl: str = "xla"):
     impl="pallas" (or "pallas_full") uses the fused 2x-upsample stencil
     kernel (ops.pallas_resize) when the target is exactly 2x — one read +
     one write instead of XLA's two re-tiling dot_general passes; falls back
-    to jax.image.resize for any other scale."""
+    to jax.image.resize for any other scale.  impl="stencil" / impl="conv"
+    are exact-2x XLA reformulations (elementwise interleave / depthwise
+    lhs-dilated conv) probing the train backward's layout copies."""
     b, h, w, c = x.shape
+    if impl == "stencil" and size == (2 * h, 2 * w):
+        return _up2x_axis_stencil(_up2x_axis_stencil(x, 1), 2)
+    if impl == "conv" and size == (2 * h, 2 * w):
+        return _up2x_conv(x)
     # VMEM guard: the kernel tiles H into row blocks sized to the scoped
     # budget (ops.pallas_resize._row_block); fits_vmem rejects only rows so
     # wide that even a single-row block overflows (exotic configs).

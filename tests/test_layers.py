@@ -140,6 +140,26 @@ def test_resize_bilinear_matches_torch():
         np.testing.assert_allclose(ours, theirs, atol=1e-5)
 
 
+def test_resize_2x_impls_match_xla():
+    """stencil / conv exact-2x reformulations (train-backward layout probe)
+    must match jax.image.resize in value AND gradient."""
+    import jax
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 8, 12, 3)).astype(np.float32))
+    ref = resize_bilinear(x, (16, 24), impl="xla")
+    g_ref = jax.grad(lambda z: (resize_bilinear(z, (16, 24), impl="xla") ** 2).sum())(x)
+    for impl in ("stencil", "conv"):
+        got = resize_bilinear(x, (16, 24), impl=impl)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+        g = jax.grad(
+            lambda z, _i=impl: (resize_bilinear(z, (16, 24), impl=_i) ** 2).sum()
+        )(x)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-5)
+        # non-2x targets fall back to jax.image.resize
+        assert resize_bilinear(x, (15, 23), impl=impl).shape == (2, 15, 23, 3)
+
+
 def test_gelu_exact_matches_torch():
     x = np.linspace(-4, 4, 101, dtype=np.float32)
     import flax.linen as nn

@@ -72,6 +72,7 @@ def main():
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--merge_dtype", choices=["f32", "bf16", "f16"], default="f32")
     ap.add_argument("--kernel_impl", choices=["xla", "pallas", "pallas_full"], default="xla")
+    ap.add_argument("--resize_impl", choices=["xla", "pallas", "stencil", "conv"], default="xla")
     ap.add_argument("--model", choices=["oneshot", "iterative"], default="oneshot")
     ap.add_argument("--erp", type=pair_arg, default=(512, 1024),
                     help="ERP H,W (e.g. 1024,2048 for the scaling probe)")
@@ -101,13 +102,15 @@ def main():
 
     print(f"devices: {jax.devices()}", flush=True)
     tag = (f"batch={args.batch} model={args.model} remat={args.remat} "
-           f"impl={args.kernel_impl} erp={args.erp[0]}x{args.erp[1]}")
+           f"impl={args.kernel_impl} resize={args.resize_impl} "
+           f"erp={args.erp[0]}x{args.erp[1]}")
     spec = ProjectionSpec.create(args.erp, args.patch, (80, 80), nrows=args.nrows)
     kw = dict(
         spec=spec,
         dtype=jnp.bfloat16 if args.bf16 else None,
         merge_dtype={"f32": None, "bf16": jnp.bfloat16, "f16": jnp.float16}[args.merge_dtype],
         kernel_impl=args.kernel_impl,
+        resize_impl=args.resize_impl,
         remat=args.remat,
     )
     if args.model == "iterative":

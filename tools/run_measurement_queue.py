@@ -80,6 +80,17 @@ QUEUE_R5 = [
 _H = ["tools/bench_train.py", "--bf16", "--merge_dtype", "f16",
       "--erp", "1024,2048", "--nrows", "6", "--fwd_only"]
 QUEUE_R5B = [
+    # resize-formulation A/B in the TRAIN step (VERDICT #4: collect the
+    # ~12 ms of relayout copies around the decoder-resize backward; the
+    # stencil/conv impls keep fwd+grad exact — tests/test_layers.py)
+    ("r5b_tr64_stencil_c", _T + ["--batch", "64", "--skip_fwd",
+                                 "--resize_impl", "stencil", "--compile_only"], 1000),
+    ("r5b_tr64_stencil", _T + ["--batch", "64", "--skip_fwd",
+                               "--resize_impl", "stencil"], 600),
+    ("r5b_tr64_conv_c", _T + ["--batch", "64", "--skip_fwd",
+                              "--resize_impl", "conv", "--compile_only"], 1000),
+    ("r5b_tr64_conv", _T + ["--batch", "64", "--skip_fwd",
+                            "--resize_impl", "conv"], 600),
     ("r5b_hires_compile_b32", _H + ["--batch", "32", "--compile_only"], 1800),
     ("r5b_hires_fwd_b32", _H + ["--batch", "32"], 800),
     ("r5b_hires_compile_b64", _H + ["--batch", "64", "--compile_only"], 1800),
