@@ -174,6 +174,7 @@ def main():
             print(f"COMPILE_ONLY ok {tag}", flush=True)
             return
         try:
+            print("timing forward...", flush=True)
             float(c_fwd(jnp.float32(1.0), x0, variables))  # warm dispatch
             t0 = time.perf_counter()
             float(c_fwd(jnp.float32(1.001), x0, variables))
@@ -213,6 +214,7 @@ def main():
     try:
         # ---- forward timing ----
         if not args.skip_fwd:
+            print("timing forward...", flush=True)
             float(c_fwd(jnp.float32(1.0), x0, variables))  # warm dispatch
             t0 = time.perf_counter()
             float(c_fwd(jnp.float32(1.001), x0, variables))
@@ -225,6 +227,7 @@ def main():
             )
 
         # ---- train timing: donated chain threading ONE state ----
+        print("timing train...", flush=True)
         st, m = compiled_t(state, batch)  # warm dispatch (consumes `state`)
         del state
         float(m["loss"])

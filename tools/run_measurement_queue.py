@@ -51,10 +51,20 @@ QUEUE_R5 = [
     ("r5t_train_b128", _T + ["--batch", "128"], 800),
     # remat: trade FLOPs for HBM — quantify its cost where b fits (64) and
     # its capacity win where b doesn't (128)
-    ("r5c_train_b64_remat", _T + ["--batch", "64", "--remat", "--compile_only"], 1000),
-    ("r5t_train_b64_remat", _T + ["--batch", "64", "--remat"], 600),
-    ("r5c_train_b128_remat", _T + ["--batch", "128", "--remat", "--compile_only"], 1800),
-    ("r5t_train_b128_remat", _T + ["--batch", "128", "--remat"], 800),
+    ("r5y_train_b64_remat_c", _T + ["--batch", "64", "--remat", "--compile_only"], 1000),
+    ("r5y_train_b64_remat", _T + ["--batch", "64", "--remat"], 600),
+    # fwd-compile work halved for the b=128 capacity probes: the b=128
+    # FORWARD number is already on record (628 p/s, round 4), so the train
+    # entries skip the fwd scan graph; compile caps widened after the
+    # 17:55 attempt lost 30 min to a mid-compile tunnel drop
+    ("r5x_train_b96", _T + ["--batch", "96"], 700),
+    ("r5x_train_b128_c", _T + ["--batch", "128", "--skip_fwd",
+                               "--compile_only"], 2400),
+    ("r5x_train_b128", _T + ["--batch", "128", "--skip_fwd"], 800),
+    ("r5x_train_b128_remat_c", _T + ["--batch", "128", "--skip_fwd",
+                                     "--remat", "--compile_only"], 2400),
+    ("r5x_train_b128_remat", _T + ["--batch", "128", "--skip_fwd",
+                                   "--remat"], 800),
     # iterative model: fwd batch knee (the one-shot gained +11% from b=256)
     ("r5_iter_sweep_b128", ["tools/bench_sweep.py", "--batches", "128",
                             "--modes", "f16_merge", "--model", "iterative"], 900),
