@@ -108,6 +108,62 @@ QUEUE_R5B = [
     ("r5b_bench_late", ["bench.py"], 1100),
 ]
 
+# Round-5 restart queue: the host rebooted mid-round (2026-08-19 ~21:37Z),
+# wiping the compile caches AND the log lines for the prior window's direct
+# runs (the b=96 / b=128 / b=128-remat training numbers PERF_NOTES cites).
+# Every perf claim needs a log line behind it (CLAUDE.md), so the claims are
+# RE-MEASURED here first, then the still-missing VERDICT items in priority
+# order: iterative train (#3), resize A/B in the train step (#4), remat cost
+# where it fits (#1), the 1024x2048 stretch (#9), and the late bench bracket
+# (#7).  Caps assume cold compiles on a 1-vCPU host.
+QUEUE_R5R = [
+    # integrity: re-back the PERF_NOTES train-scan claims with log lines
+    ("r5x_train_b96_c", _T + ["--batch", "96", "--skip_fwd", "--compile_only"], 2000),
+    ("r5x_train_b96", _T + ["--batch", "96", "--skip_fwd"], 700),
+    # the b=128 OOMs surface at train_compile, so the compile_only entry IS
+    # the capacity datapoint (one `OOM needed=.. limit=..` line, rc=0)
+    ("r5x_train_b128_c", _T + ["--batch", "128", "--skip_fwd", "--compile_only"], 2800),
+    ("r5x_train_b128_remat_c", _T + ["--batch", "128", "--skip_fwd",
+                                     "--remat", "--compile_only"], 2800),
+    # iterative model: fwd batch knee + FIRST on-chip train numbers
+    ("r5_iter_sweep_b128", ["tools/bench_sweep.py", "--batches", "128",
+                            "--modes", "f16_merge", "--model", "iterative"], 1200),
+    ("r5_iter_sweep_b192", ["tools/bench_sweep.py", "--batches", "192",
+                            "--modes", "f16_merge", "--model", "iterative"], 1200),
+    ("r5_iter_sweep_b256", ["tools/bench_sweep.py", "--batches", "256",
+                            "--modes", "f16_merge", "--model", "iterative"], 1200),
+    ("r5c_train_iter_b32", _T + ["--batch", "32", "--model", "iterative",
+                                 "--skip_fwd", "--compile_only"], 2000),
+    ("r5t_train_iter_b32", _T + ["--batch", "32", "--model", "iterative",
+                                 "--skip_fwd"], 700),
+    ("r5c_train_iter_b64", _T + ["--batch", "64", "--model", "iterative",
+                                 "--skip_fwd", "--compile_only"], 2400),
+    ("r5t_train_iter_b64", _T + ["--batch", "64", "--model", "iterative",
+                                 "--skip_fwd"], 800),
+    # resize-formulation A/B in the real train step (VERDICT #4)
+    ("r5b_tr64_xla_c", _T + ["--batch", "64", "--skip_fwd", "--compile_only"], 1600),
+    ("r5b_tr64_xla", _T + ["--batch", "64", "--skip_fwd"], 600),
+    ("r5b_tr64_stencil_c", _T + ["--batch", "64", "--skip_fwd",
+                                 "--resize_impl", "stencil", "--compile_only"], 1600),
+    ("r5b_tr64_stencil", _T + ["--batch", "64", "--skip_fwd",
+                               "--resize_impl", "stencil"], 600),
+    ("r5b_tr64_conv_c", _T + ["--batch", "64", "--skip_fwd",
+                              "--resize_impl", "conv", "--compile_only"], 1600),
+    ("r5b_tr64_conv", _T + ["--batch", "64", "--skip_fwd",
+                            "--resize_impl", "conv"], 600),
+    # remat cost where the batch FITS (completes the remat matrix)
+    ("r5y_train_b64_remat_c", _T + ["--batch", "64", "--skip_fwd",
+                                    "--remat", "--compile_only"], 1600),
+    ("r5y_train_b64_remat", _T + ["--batch", "64", "--skip_fwd", "--remat"], 600),
+    # 1024x2048 / nrows 6 resolution-scaling stretch (VERDICT #9)
+    ("r5b_hires_compile_b32", _H + ["--batch", "32", "--compile_only"], 2400),
+    ("r5b_hires_fwd_b32", _H + ["--batch", "32"], 800),
+    ("r5b_hires_compile_b64", _H + ["--batch", "64", "--compile_only"], 2400),
+    ("r5b_hires_fwd_b64", _H + ["--batch", "64"], 800),
+    # round-end bracket (#7)
+    ("r5b_bench_late", ["bench.py"], 1100),
+]
+
 # Round-4b follow-up queue (completed; kept for the record, --queue r4b).
 QUEUE = [
     ("sol_cal_stream", ["tools/sol_model.py", "--calibrate", "stream",
@@ -269,14 +325,15 @@ def run_step(name: str, argv: list[str], timeout: float) -> bool:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", help="substring filter on step names")
-    ap.add_argument("--queue", choices=("r5", "r5b", "r4b", "r4"), default="r5")
+    ap.add_argument("--queue", choices=("r5r", "r5", "r5b", "r4b", "r4"), default="r5r")
     ap.add_argument("--list", action="store_true")
     ap.add_argument("--max_probes", type=int, default=20,
                     help="canary probes per step before skipping it")
     ap.add_argument("--probe_sleep", type=float, default=120.0)
     args = ap.parse_args()
 
-    queue = {"r5": QUEUE_R5, "r5b": QUEUE_R5B, "r4b": QUEUE, "r4": QUEUE_R4}[args.queue]
+    queue = {"r5r": QUEUE_R5R, "r5": QUEUE_R5, "r5b": QUEUE_R5B,
+             "r4b": QUEUE, "r4": QUEUE_R4}[args.queue]
     steps = [s for s in queue if not args.only or args.only in s[0]]
     if args.list:
         for name, argv, cap in steps:
