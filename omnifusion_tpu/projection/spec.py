@@ -35,6 +35,7 @@ from omnifusion_tpu.geometry.layout import (
     patch_centers_radians,
     uniform_patch_centers,
 )
+from omnifusion_tpu.projection import table_cache
 
 
 def _pair(t):
@@ -269,8 +270,38 @@ def build_vjp_tables(
     )
 
 
+def _vjp_arrays(vjp: tuple) -> dict:
+    return {f"vjp{i}": a for i, a in enumerate(vjp)}
+
+
+def _vjp_from(d: dict) -> tuple:
+    return tuple(d[f"vjp{i}"] for i in range(5))
+
+
 @functools.lru_cache(maxsize=None)
 def build_equi2pers_grids(spec: ProjectionSpec) -> Equi2PersGrids:
+    cached = table_cache.load("e2p", spec)
+    if cached is not None:
+        return Equi2PersGrids(
+            idx=cached["idx"],
+            w4=cached["w4"],
+            xyz=cached["xyz"],
+            uv=cached["uv"],
+            centers=cached["centers"],
+            vjp=_vjp_from(cached),
+            spec=spec,
+        )
+    g = _build_equi2pers_grids(spec)
+    table_cache.save(
+        "e2p",
+        spec,
+        dict(idx=g.idx, w4=g.w4, xyz=g.xyz, uv=g.uv, centers=g.centers,
+             **_vjp_arrays(g.vjp)),
+    )
+    return g
+
+
+def _build_equi2pers_grids(spec: ProjectionSpec) -> Equi2PersGrids:
     lon, lat = _forward_angles(spec)
     lon_n = lon / np.pi
     lat_n = lat / (np.pi / 2.0)
@@ -321,6 +352,27 @@ def build_equi2pers_grids(spec: ProjectionSpec) -> Equi2PersGrids:
 
 @functools.lru_cache(maxsize=None)
 def build_pers2equi_grids(spec: ProjectionSpec) -> Pers2EquiGrids:
+    cached = table_cache.load("p2e", spec)
+    if cached is not None:
+        capped = (
+            tuple(cached[f"cap{i}"] for i in range(5)) if "cap0" in cached else None
+        )
+        return Pers2EquiGrids(
+            idx=cached["idx"],
+            w4=cached["w4"],
+            vjp=_vjp_from(cached),
+            capped=capped,
+            spec=spec,
+        )
+    g = _build_pers2equi_grids(spec)
+    arrays = dict(idx=g.idx, w4=g.w4, **_vjp_arrays(g.vjp))
+    if g.capped is not None:
+        arrays.update({f"cap{i}": a for i, a in enumerate(g.capped)})
+    table_cache.save("p2e", spec, arrays)
+    return g
+
+
+def _build_pers2equi_grids(spec: ProjectionSpec) -> Pers2EquiGrids:
     P = spec.n_patches
     ph, pw = spec.patch_h, spec.patch_w
     erp_h, erp_w = spec.erp_h, spec.erp_w
