@@ -325,6 +325,8 @@ def run_step(name: str, argv: list[str], timeout: float) -> bool:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", help="substring filter on step names")
+    ap.add_argument("--from", dest="from_name",
+                    help="skip queue entries before this name (resume a cut run)")
     ap.add_argument("--queue", choices=("r5r", "r5", "r5b", "r4b", "r4"), default="r5r")
     ap.add_argument("--list", action="store_true")
     ap.add_argument("--max_probes", type=int, default=20,
@@ -335,6 +337,11 @@ def main():
     queue = {"r5r": QUEUE_R5R, "r5": QUEUE_R5, "r5b": QUEUE_R5B,
              "r4b": QUEUE, "r4": QUEUE_R4}[args.queue]
     steps = [s for s in queue if not args.only or args.only in s[0]]
+    if args.from_name:
+        names = [s[0] for s in steps]
+        if args.from_name not in names:
+            sys.exit(f"--from {args.from_name!r}: not in queue {names}")
+        steps = steps[names.index(args.from_name):]
     if args.list:
         for name, argv, cap in steps:
             print(f"{name:24s} {' '.join(argv)}  (cap {cap}s)")
