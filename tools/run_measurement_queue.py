@@ -108,6 +108,33 @@ QUEUE_R5B = [
     ("r5b_bench_late", ["bench.py"], 1100),
 ]
 
+# Round-5 phase 3 (r5z), informed by the phase-2 results:
+#  - resize_impl=conv WON the train A/B at b=64 (268.7 ms vs 275.7 same-day
+#    xla; stencil lost at 308.6) — measure the FORWARD at the b=256 headline
+#    batch before deciding the production default (both arms through the
+#    same bench_train --fwd_only harness so the A/B is apples-to-apples).
+#  - the iterative knee was still climbing at b=256 (401.3 -> 423.9 ->
+#    442.8 panos/s); probe b=320 (the one-shot dipped there, but the
+#    iterative's quarter-res second pass has a smaller live set).
+#  - the 1024x2048/nrows-6 stretch OOM'd fwd at b=32 (19.14G) and b=64
+#    (24.49G); the linear fit (~13.8G base + 0.167G/pano) says b=8 is
+#    marginal — probe b=16 and b=8 so the scaling story gets either a real
+#    throughput datapoint or a capacity line at the smallest useful batch.
+_F = ["tools/bench_train.py", "--bf16", "--merge_dtype", "f16", "--fwd_only"]
+QUEUE_R5Z = [
+    ("r5z_fwd256_xla_c", _F + ["--batch", "256", "--compile_only"], 1600),
+    ("r5z_fwd256_xla", _F + ["--batch", "256"], 700),
+    ("r5z_fwd256_conv_c", _F + ["--batch", "256", "--resize_impl", "conv",
+                                "--compile_only"], 1600),
+    ("r5z_fwd256_conv", _F + ["--batch", "256", "--resize_impl", "conv"], 700),
+    ("r5z_iter_sweep_b320", ["tools/bench_sweep.py", "--batches", "320",
+                             "--modes", "f16_merge", "--model", "iterative"], 1200),
+    ("r5z_hires_c_b16", _H + ["--batch", "16", "--compile_only"], 2400),
+    ("r5z_hires_fwd_b16", _H + ["--batch", "16"], 800),
+    ("r5z_hires_c_b8", _H + ["--batch", "8", "--compile_only"], 2400),
+    ("r5z_hires_fwd_b8", _H + ["--batch", "8"], 800),
+]
+
 # Round-5 restart queue: the host rebooted mid-round (2026-08-19 ~21:37Z),
 # wiping the compile caches AND the log lines for the prior window's direct
 # runs (the b=96 / b=128 / b=128-remat training numbers PERF_NOTES cites).
@@ -327,14 +354,15 @@ def main():
     ap.add_argument("--only", help="substring filter on step names")
     ap.add_argument("--from", dest="from_name",
                     help="skip queue entries before this name (resume a cut run)")
-    ap.add_argument("--queue", choices=("r5r", "r5", "r5b", "r4b", "r4"), default="r5r")
+    ap.add_argument("--queue", choices=("r5z", "r5r", "r5", "r5b", "r4b", "r4"),
+                    default="r5z")
     ap.add_argument("--list", action="store_true")
     ap.add_argument("--max_probes", type=int, default=20,
                     help="canary probes per step before skipping it")
     ap.add_argument("--probe_sleep", type=float, default=120.0)
     args = ap.parse_args()
 
-    queue = {"r5r": QUEUE_R5R, "r5": QUEUE_R5, "r5b": QUEUE_R5B,
+    queue = {"r5z": QUEUE_R5Z, "r5r": QUEUE_R5R, "r5": QUEUE_R5, "r5b": QUEUE_R5B,
              "r4b": QUEUE, "r4": QUEUE_R4}[args.queue]
     steps = [s for s in queue if not args.only or args.only in s[0]]
     if args.from_name:
