@@ -96,15 +96,24 @@ def add_common_args(parser: argparse.ArgumentParser, train: bool):
     )
     parser.add_argument(
         "--resize_impl",
-        default="xla",
+        default="conv" if train else "xla",
         choices=["xla", "pallas", "stencil", "conv"],
         help="decoder 2x-upsample implementation, decoupled from "
-        "--kernel_impl: the fused pallas stencil measured 48.7 ms vs XLA's "
-        "15.3 ms for the 5 decoder stages at the flagship batch "
-        "(tools/measurements.log resize_shootout) — keep 'xla' unless your "
-        "config measures otherwise",
+        "--kernel_impl.  All four are numerically interchangeable (conv/"
+        "stencil exact to 1e-7/1e-6 in value/grad — tests/test_layers.py); "
+        "they differ only in speed per phase.  TRAIN default 'conv' "
+        "(separable depthwise lhs-dilated conv): its transpose is itself a "
+        "conv, so the backward never leaves conv layouts — on-chip A/B at "
+        "b=64 measured conv 268.7 ms vs xla 275.7 vs stencil 308.6 "
+        "(measurements.log 2026-08-20).  Inference default 'xla' (the "
+        "forward-only shootout favored it; see PERF_NOTES round-5)",
     )
-    parser.add_argument("--remat", action="store_true", help="rematerialize the encoder (saves HBM)")
+    parser.add_argument(
+        "--remat", action="store_true",
+        help="rematerialize the encoder (trades ~19%% extra FLOPs for "
+        "activation HBM; measured +11%% step time at b=64 and does NOT "
+        "recover the b=128 OOM — see docs/TRAINING.md)",
+    )
     parser.add_argument(
         "--no_transformer",
         action="store_true",
