@@ -107,7 +107,8 @@ def canary():
 # measurement can't inherit another config's warm signal (different
 # executables)
 WARM_MARKER = (
-    f"bench_headline.{os.environ.get('BENCH_KERNEL_IMPL', 'xla')}.b{BATCH}.warm"
+    f"bench_headline.{os.environ.get('BENCH_KERNEL_IMPL', 'xla')}"
+    f".{os.environ.get('BENCH_RESIZE_IMPL', 'conv')}.b{BATCH}.warm"
 )
 
 
@@ -173,10 +174,16 @@ def worker():
     # BENCH_KERNEL_IMPL lets the queue/operator measure the pallas-projection
     # composition through the same harness; the checked-in default is the
     # config the committed on-chip record says is fastest AND green.
+    # BENCH_RESIZE_IMPL: the decoder 2x-upsample formulation.  Default
+    # "conv" (the model default) — the separable depthwise lhs-dilated conv
+    # beat the XLA dot_general lowering on chip in both phases (fwd b=256:
+    # 383.7 vs 400.9 ms, measurements.log 2026-08-20 06:05).
     impl = os.environ.get("BENCH_KERNEL_IMPL", "xla")
+    resize = os.environ.get("BENCH_RESIZE_IMPL", "conv")
     bf16 = measure(
         SphericalFusion(
-            spec=spec, dtype=jnp.bfloat16, merge_dtype=jnp.float16, kernel_impl=impl
+            spec=spec, dtype=jnp.bfloat16, merge_dtype=jnp.float16,
+            kernel_impl=impl, resize_impl=resize,
         )
     )
     impl_tag = "" if impl == "xla" else f", {impl} projections"
@@ -184,12 +191,14 @@ def worker():
         json.dumps(
             {
                 "metric": "panoramas/sec/chip (512x1024 ERP, fov 80, nrows 4, "
-                f"one-shot, batch {BATCH}, bf16 trunk + f16 merge{impl_tag})",
+                f"one-shot, batch {BATCH}, bf16 trunk + f16 merge, "
+                f"{resize} resize{impl_tag})",
                 "value": round(bf16, 2),
                 "unit": "panoramas/sec",
                 "vs_baseline": round(bf16 / REFERENCE_PANOS_PER_SEC, 2),
                 "batch": BATCH,
                 "kernel_impl": impl,
+                "resize_impl": resize,
             }
         ),
         flush=True,

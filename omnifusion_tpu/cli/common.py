@@ -96,17 +96,16 @@ def add_common_args(parser: argparse.ArgumentParser, train: bool):
     )
     parser.add_argument(
         "--resize_impl",
-        default="conv" if train else "xla",
+        default="conv",
         choices=["xla", "pallas", "stencil", "conv"],
         help="decoder 2x-upsample implementation, decoupled from "
         "--kernel_impl.  All four are numerically interchangeable (conv/"
         "stencil exact to 1e-7/1e-6 in value/grad — tests/test_layers.py); "
-        "they differ only in speed per phase.  TRAIN default 'conv' "
-        "(separable depthwise lhs-dilated conv): its transpose is itself a "
-        "conv, so the backward never leaves conv layouts — on-chip A/B at "
-        "b=64 measured conv 268.7 ms vs xla 275.7 vs stencil 308.6 "
-        "(measurements.log 2026-08-20).  Inference default 'xla' (the "
-        "forward-only shootout favored it; see PERF_NOTES round-5)",
+        "they differ only in speed.  Default 'conv' (separable depthwise "
+        "lhs-dilated conv): its transpose is itself a conv, so fwd and bwd "
+        "stay in conv layouts — on-chip A/B won both phases (fwd b=256 "
+        "383.7 vs 400.9 ms xla; train b=64 268.7 vs 275.7 vs stencil 308.6 "
+        "— measurements.log 2026-08-20)",
     )
     parser.add_argument(
         "--remat", action="store_true",
@@ -235,7 +234,7 @@ def build_model(args):
         use_transformer=not getattr(args, "no_transformer", False),
         remat=getattr(args, "remat", False),
         kernel_impl=getattr(args, "kernel_impl", "xla"),
-        resize_impl=getattr(args, "resize_impl", "xla"),
+        resize_impl=getattr(args, "resize_impl", "conv"),
     )
     if args.model == "iterative":
         return SphericalFusionIterative(num_iters=args.iters, **kw), spec

@@ -48,7 +48,7 @@ class SphericalFusionIterative(nn.Module):
     # "pallas" = d-major Pallas blend-reduce for both projections (see SphericalFusion)
     kernel_impl: str = "xla"
     # decoder-resize impl, decoupled from kernel_impl (see SphericalFusion)
-    resize_impl: str = "xla"
+    resize_impl: str = "conv"
 
     @nn.compact
     def __call__(self, rgb, train: bool = False, confidence: bool = False):

@@ -87,13 +87,15 @@ class DepthTrunk(nn.Module):
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     kernel_impl: str = "xla"
-    # decoder-resize implementation, decoupled from kernel_impl: the fused
-    # pallas 2x stencil measured 48.7 ms vs XLA's 15.3 ms for the 5 decoder
-    # stages at the flagship batch (tools/measurements.log 2026-08-19,
-    # resize_shootout) — grid-step overhead dominates its byte savings — so
-    # "pallas" kernel_impl composes with the FASTER XLA resize by default
-    # and the stencil stays an explicit opt-in
-    resize_impl: str = "xla"
+    # decoder-resize implementation, decoupled from kernel_impl.  Default
+    # "conv" (separable depthwise lhs-dilated conv, exact-2x, value/grad
+    # exact to 1e-7/1e-6 vs jax.image.resize): its transpose is itself a
+    # conv, so fwd and bwd stay in conv layouts — on-chip it beat the XLA
+    # dot_general lowering in BOTH phases (fwd b=256: 383.7 vs 400.9 ms;
+    # train b=64: 268.7 vs 275.7 ms — measurements.log 2026-08-20).  The
+    # fused pallas 2x stencil measured slower still (48.7 vs 15.3 ms for
+    # the 5 decoder stages, resize_shootout) and stays an explicit opt-in.
+    resize_impl: str = "conv"
 
     @nn.compact
     def __call__(self, patches, point_feat, train: bool = False):
@@ -242,9 +244,9 @@ class SphericalFusion(nn.Module):
     # (single-chip throughput mode; auto-falls-back when batch*channel
     # doesn't fill a 128-lane vector)
     kernel_impl: str = "xla"
-    # decoder-resize impl ("pallas" = fused 2x stencil, measured slower than
-    # XLA at the flagship batch — see DepthTrunk.resize_impl)
-    resize_impl: str = "xla"
+    # decoder-resize impl; "conv" won the on-chip A/B in both phases
+    # (see DepthTrunk.resize_impl)
+    resize_impl: str = "conv"
 
     @nn.compact
     def __call__(self, rgb, train: bool = False, confidence: bool = True):

@@ -72,7 +72,9 @@ def main():
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--merge_dtype", choices=["f32", "bf16", "f16"], default="f32")
     ap.add_argument("--kernel_impl", choices=["xla", "pallas", "pallas_full"], default="xla")
-    ap.add_argument("--resize_impl", choices=["xla", "pallas", "stencil", "conv"], default="xla")
+    # default mirrors the production model default (conv won the on-chip
+    # A/B in both phases — measurements.log 2026-08-20)
+    ap.add_argument("--resize_impl", choices=["xla", "pallas", "stencil", "conv"], default="conv")
     ap.add_argument("--model", choices=["oneshot", "iterative"], default="oneshot")
     ap.add_argument("--erp", type=pair_arg, default=(512, 1024),
                     help="ERP H,W (e.g. 1024,2048 for the scaling probe)")

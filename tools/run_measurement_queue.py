@@ -135,6 +135,18 @@ QUEUE_R5Z = [
     ("r5z_hires_fwd_b8", _H + ["--batch", "8"], 800),
 ]
 
+# Round-5 final: validate the conv-resize default flip through the real
+# headline harness (the fwd A/B measured 667.2 vs 638.6 panos/s at b=256,
+# r5z_fwd256_conv 06:05) so BENCH_LAST_GOOD and the committed record carry
+# an on-chip number for the shipped default, plus a conv-default train
+# confirmation at the b=64 knee.
+QUEUE_R5F = [
+    ("r5f_bench_conv", ["bench.py"], 1100),
+    ("r5f_train_b64_conv_c", _T + ["--batch", "64", "--skip_fwd",
+                                   "--compile_only"], 1600),
+    ("r5f_train_b64_conv", _T + ["--batch", "64", "--skip_fwd"], 600),
+]
+
 # Round-5 restart queue: the host rebooted mid-round (2026-08-19 ~21:37Z),
 # wiping the compile caches AND the log lines for the prior window's direct
 # runs (the b=96 / b=128 / b=128-remat training numbers PERF_NOTES cites).
@@ -354,16 +366,17 @@ def main():
     ap.add_argument("--only", help="substring filter on step names")
     ap.add_argument("--from", dest="from_name",
                     help="skip queue entries before this name (resume a cut run)")
-    ap.add_argument("--queue", choices=("r5z", "r5r", "r5", "r5b", "r4b", "r4"),
-                    default="r5z")
+    ap.add_argument("--queue",
+                    choices=("r5f", "r5z", "r5r", "r5", "r5b", "r4b", "r4"),
+                    default="r5f")
     ap.add_argument("--list", action="store_true")
     ap.add_argument("--max_probes", type=int, default=20,
                     help="canary probes per step before skipping it")
     ap.add_argument("--probe_sleep", type=float, default=120.0)
     args = ap.parse_args()
 
-    queue = {"r5z": QUEUE_R5Z, "r5r": QUEUE_R5R, "r5": QUEUE_R5, "r5b": QUEUE_R5B,
-             "r4b": QUEUE, "r4": QUEUE_R4}[args.queue]
+    queue = {"r5f": QUEUE_R5F, "r5z": QUEUE_R5Z, "r5r": QUEUE_R5R, "r5": QUEUE_R5,
+             "r5b": QUEUE_R5B, "r4b": QUEUE, "r4": QUEUE_R4}[args.queue]
     steps = [s for s in queue if not args.only or args.only in s[0]]
     if args.from_name:
         names = [s[0] for s in steps]
